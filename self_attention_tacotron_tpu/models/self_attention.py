@@ -1,0 +1,218 @@
+"""Multi-head self-attention blocks (encoder stream + decoder variants).
+
+Capability parity with the reference ``SelfAttentionTransformer`` /
+``MultiHeadAttention`` modules (``self-attention-tacotron/modules/`` per
+SURVEY.md §2.1 [M] — reconstructed; mount empty), per the ICASSP 2019
+paper (arXiv:1810.11960): stacked multi-head scaled-dot-product
+self-attention blocks with residual connections and sinusoidal positional
+encodings, applied over LSTM/CBHG outputs in the encoder (producing a
+second memory stream) and optionally over decoder states.
+
+TPU-first notes:
+
+* Full-sequence attention (training, encoder) is one batched einsum chain
+  — lands on the MXU with zero gather/scatter.
+* Autoregressive decoding uses explicit K/V cache buffers threaded through
+  the decode carry (``write_kv`` / ``attend_one``): static shapes, one
+  dynamic_update_slice per step, no recomputation of past projections.
+* Softmax always in float32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Dtype = Any
+_NEG_INF = -1e9
+
+
+@functools.lru_cache(maxsize=16)
+def _sinusoid_table(length: int, dim: int) -> np.ndarray:
+    pos = np.arange(length, dtype=np.float64)[:, None]
+    i = np.arange(dim, dtype=np.float64)[None, :]
+    angle = pos / np.power(10000.0, (2.0 * (i // 2)) / dim)
+    table = np.where(i % 2 == 0, np.sin(angle), np.cos(angle))
+    return table.astype(np.float32)
+
+
+def positional_encoding(length: int, dim: int, dtype: Dtype = jnp.float32) -> jnp.ndarray:
+    """Sinusoidal positional encoding table, (length, dim)."""
+    return jnp.asarray(_sinusoid_table(length, dim), dtype)
+
+
+class MultiHeadAttention(nn.Module):
+    """Scaled dot-product multi-head attention with optional causal masking."""
+
+    num_heads: int
+    num_units: int             # total (= heads × head_dim)
+    drop_rate: float = 0.0
+    is_training: bool = True
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        assert self.num_units % self.num_heads == 0
+        dense = functools.partial(nn.Dense, use_bias=False, dtype=self.dtype)
+        self.q_proj = dense(self.num_units, name="q")
+        self.k_proj = dense(self.num_units, name="k")
+        self.v_proj = dense(self.num_units, name="v")
+        self.out_proj = nn.Dense(self.num_units, dtype=self.dtype, name="out")
+
+    def _split(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, t, _ = x.shape
+        return x.reshape(b, t, self.num_heads, -1).transpose(0, 2, 1, 3)
+
+    def __call__(
+        self,
+        query: jnp.ndarray,                 # (B, Tq, D)
+        memory: jnp.ndarray,                # (B, Tk, D)
+        mask: Optional[jnp.ndarray] = None,  # (B, Tk) valid-key mask
+        causal: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        q = self._split(self.q_proj(query))   # (B, H, Tq, d)
+        k = self._split(self.k_proj(memory))  # (B, H, Tk, d)
+        v = self._split(self.v_proj(memory))
+        d = q.shape[-1]
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+        logits = logits / np.sqrt(d)
+        if mask is not None:
+            logits = jnp.where(mask[:, None, None, :], logits, _NEG_INF)
+        if causal:
+            tq, tk = logits.shape[-2:]
+            cmask = jnp.tril(jnp.ones((tq, tk), bool), k=tk - tq)
+            logits = jnp.where(cmask[None, None], logits, _NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1)
+        if self.drop_rate > 0.0 and self.is_training:
+            probs = nn.Dropout(rate=self.drop_rate, deterministic=False)(probs)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+        b, h, tq, dd = ctx.shape
+        out = self.out_proj(ctx.transpose(0, 2, 1, 3).reshape(b, tq, h * dd))
+        return out, probs
+
+    # ---------------- incremental (AR decode) API ---------------- #
+
+    def write_kv(
+        self, x: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray, index: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Project one step ``x`` (B, D) and write K/V caches at ``index``."""
+        k = self.k_proj(x[:, None, :])
+        v = self.v_proj(x[:, None, :])
+        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k, index, axis=1)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v, index, axis=1)
+        return k_cache, v_cache
+
+    def attend_one(
+        self,
+        x: jnp.ndarray,          # (B, D) current step input
+        k_cache: jnp.ndarray,    # (B, Tmax, D)
+        v_cache: jnp.ndarray,
+        index: jnp.ndarray,      # () current step (keys 0..index valid)
+    ) -> jnp.ndarray:
+        q = self._split(self.q_proj(x[:, None, :]))        # (B, H, 1, d)
+        k = self._split(k_cache)                           # (B, H, T, d)
+        v = self._split(v_cache)
+        d = q.shape[-1]
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) / np.sqrt(d)
+        valid = jnp.arange(k_cache.shape[1]) <= index
+        logits = jnp.where(valid[None, None, None, :], logits, _NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+        b, h, _, dd = ctx.shape
+        return self.out_proj(ctx.reshape(b, h * dd))
+
+
+class SelfAttentionBlock(nn.Module):
+    """Pre-LN transformer block: LN→MHA→res, LN→FFN→res."""
+
+    num_heads: int
+    num_units: int
+    ffn_units: int = 1024
+    drop_rate: float = 0.05
+    is_training: bool = True
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.ln1 = nn.LayerNorm(dtype=self.dtype, name="ln1")
+        self.ln2 = nn.LayerNorm(dtype=self.dtype, name="ln2")
+        self.mha = MultiHeadAttention(
+            num_heads=self.num_heads,
+            num_units=self.num_units,
+            drop_rate=self.drop_rate,
+            is_training=self.is_training,
+            dtype=self.dtype,
+            name="mha",
+        )
+        self.ffn1 = nn.Dense(self.ffn_units, dtype=self.dtype, name="ffn1")
+        self.ffn2 = nn.Dense(self.num_units, dtype=self.dtype, name="ffn2")
+        self.drop = nn.Dropout(rate=self.drop_rate)
+
+    def _ffn(self, x):
+        h = nn.relu(self.ffn1(x))
+        return self.ffn2(h)
+
+    def __call__(self, x, mask=None, causal=False):
+        normed = self.ln1(x)
+        h, probs = self.mha(normed, normed, mask=mask, causal=causal)
+        h = self.drop(h, deterministic=not self.is_training)
+        x = x + h
+        f = self.drop(self._ffn(self.ln2(x)), deterministic=not self.is_training)
+        return x + f, probs
+
+    # incremental
+    def step_write(self, x, k_cache, v_cache, index):
+        return self.mha.write_kv(self.ln1(x), k_cache, v_cache, index)
+
+    def step_attend(self, x, k_cache, v_cache, index):
+        h = self.mha.attend_one(self.ln1(x), k_cache, v_cache, index)
+        x = x + h
+        return x + self._ffn(self.ln2(x))
+
+
+class SelfAttentionTransformer(nn.Module):
+    """Stack of ``num_hop`` self-attention blocks + input projection + PE.
+
+    Used by the self-attention encoder (second memory stream) and the
+    self-attention decoder variants. Returns the transformed sequence and
+    per-block attention probabilities (for alignment plots).
+    """
+
+    num_hop: int
+    num_heads: int
+    num_units: int
+    ffn_units: int = 1024
+    drop_rate: float = 0.05
+    use_positional_encoding: bool = True
+    is_training: bool = True
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.in_proj = nn.Dense(self.num_units, dtype=self.dtype, name="in_proj")
+        self.blocks = [
+            SelfAttentionBlock(
+                num_heads=self.num_heads,
+                num_units=self.num_units,
+                ffn_units=self.ffn_units,
+                drop_rate=self.drop_rate,
+                is_training=self.is_training,
+                dtype=self.dtype,
+                name=f"block_{i}",
+            )
+            for i in range(self.num_hop)
+        ]
+
+    def __call__(self, x, mask=None, causal=False):
+        x = self.in_proj(x)
+        if self.use_positional_encoding:
+            x = x + positional_encoding(x.shape[1], self.num_units, x.dtype)[None]
+        probs_all = []
+        for block in self.blocks:
+            x, probs = block(x, mask=mask, causal=causal)
+            probs_all.append(probs)
+        if mask is not None:
+            x = x * mask[..., None].astype(x.dtype)
+        return x, probs_all
