@@ -1,0 +1,373 @@
+"""Autoregressive attention decoders (single-source, dual-source, self-attention).
+
+Capability parity with ``self-attention-tacotron/modules/decoder*.py`` and
+the companion repo's RNN wrappers (SURVEY.md §2.1/§2.2 [M] — reconstructed;
+mount empty): ``ExtendedDecoder``, ``DualSourceDecoder``,
+``DualSourceSelfAttentionDecoder`` plus WORLD-feature (``MgcLf0``)
+variants. One parameterized :class:`Decoder` implements the step
+(SURVEY.md §3.4: prenet → attention-RNN → attention mechanism(s) →
+decoder ZoneoutLSTM stack); named classes configure it.
+
+TPU-first design decisions:
+
+* The per-step recurrence carries ALL state explicitly
+  (:class:`DecoderState`: LSTM carries, attention states, previous
+  contexts, step index) so both teacher-forced training (``nn.scan``) and
+  autoregressive inference (``lax.while_loop`` in ops/decode_loop.py) run
+  fully on-device with static shapes.
+* Frame/stop projections (and decoder self-attention) are applied OUTSIDE
+  the scan over the whole sequence during training — one large MXU matmul
+  of shape (B·N, D)×(D, r·M) instead of N small ones — and incrementally
+  (with K/V caches) at inference. Equality of the two paths is tested.
+* Reduction factor r (``outputs_per_step``): each step emits r frames;
+  decode length is frames/r.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from self_attention_tacotron_tpu.models.attention import (
+    AttentionState,
+    TeacherForcingAttention,
+    initial_attention_state,
+)
+from self_attention_tacotron_tpu.models.modules import PreNet, ZoneoutLSTMCell
+from self_attention_tacotron_tpu.models.self_attention import SelfAttentionTransformer
+
+Dtype = Any
+LSTMCarry = Tuple[jnp.ndarray, jnp.ndarray]
+
+
+@flax.struct.dataclass
+class DecoderState:
+    """Full recurrence state of one decoder step (a pytree scan carry)."""
+
+    attention_lstm: LSTMCarry
+    decoder_lstms: Tuple[LSTMCarry, ...]
+    attention_states: Tuple[AttentionState, ...]
+    contexts: Tuple[jnp.ndarray, ...]
+    time: jnp.ndarray  # () int32
+
+
+@flax.struct.dataclass
+class DecoderConditioning:
+    """Per-utterance conditioning visible to every decoder step."""
+
+    memories: Tuple[jnp.ndarray, ...]      # one (B, S, E_i) per attention source
+    keys: Tuple[jnp.ndarray, ...]          # precomputed attention keys
+    masks: Tuple[Optional[jnp.ndarray], ...]
+    speaker_embed: Optional[jnp.ndarray] = None   # (B, D_spk) or None
+    teacher_ratio: Optional[jnp.ndarray] = None   # (B,) for forced alignment
+
+
+class Decoder(nn.Module):
+    """Parameterized AR decoder; named reference decoders are configurations.
+
+    ``output_heads``: ((name, dim), ...) — ("mel", 80) for mel models,
+    (("mgc", 60), ("lf0", 256)) for WORLD-feature models. The frame block
+    fed back through the prenet is the concatenation of all heads.
+    """
+
+    attention_mechs: Tuple[nn.Module, ...]
+    output_heads: Tuple[Tuple[str, int], ...] = (("mel", 80),)
+    outputs_per_step: int = 2
+    n_feed_frame: int = 1
+    prenet_out_units: Tuple[int, ...] = (256, 128)
+    prenet_drop_rate: float = 0.5
+    attention_rnn_out_units: int = 256
+    decoder_out_units: int = 256
+    num_decoder_layers: int = 2
+    zoneout_factor_cell: float = 0.1
+    zoneout_factor_output: float = 0.1
+    use_self_attention: bool = False
+    self_attention_out_units: int = 256
+    self_attention_num_heads: int = 2
+    self_attention_num_hop: int = 1
+    self_attention_drop_rate: float = 0.05
+    self_attention_ffn_units: int = 1024
+    is_training: bool = True
+    dtype: Dtype = jnp.float32
+
+    @property
+    def out_dim(self) -> int:
+        return sum(dim for _, dim in self.output_heads)
+
+    def setup(self):
+        self.prenet = PreNet(
+            self.prenet_out_units, self.prenet_drop_rate, dtype=self.dtype, name="prenet"
+        )
+        self.attentions = self.attention_mechs
+        self.attention_lstm = ZoneoutLSTMCell(
+            self.attention_rnn_out_units,
+            self.zoneout_factor_cell,
+            self.zoneout_factor_output,
+            self.is_training,
+            dtype=self.dtype,
+            name="attention_lstm",
+        )
+        self.decoder_lstms = [
+            ZoneoutLSTMCell(
+                self.decoder_out_units,
+                self.zoneout_factor_cell,
+                self.zoneout_factor_output,
+                self.is_training,
+                dtype=self.dtype,
+                name=f"decoder_lstm_{i}",
+            )
+            for i in range(self.num_decoder_layers)
+        ]
+        if self.use_self_attention:
+            self.transformer = SelfAttentionTransformer(
+                num_hop=self.self_attention_num_hop,
+                num_heads=self.self_attention_num_heads,
+                num_units=self.self_attention_out_units,
+                ffn_units=self.self_attention_ffn_units,
+                drop_rate=self.self_attention_drop_rate,
+                is_training=self.is_training,
+                dtype=self.dtype,
+                name="self_attention",
+            )
+        r = self.outputs_per_step
+        self.frame_projections = [
+            nn.Dense(r * dim, dtype=self.dtype, name=f"frame_projection_{head}")
+            for head, dim in self.output_heads
+        ]
+        self.stop_projection = nn.Dense(r, dtype=self.dtype, name="stop_projection")
+
+    # ------------------------------------------------------------------ #
+    # State
+    # ------------------------------------------------------------------ #
+
+    def initial_state(self, cond: DecoderConditioning) -> DecoderState:
+        batch = cond.memories[0].shape[0]
+        att_states = tuple(
+            initial_attention_state(
+                batch, mem.shape[1], initial_alignment=mech.initial_alignment
+            )
+            for mech, mem in zip(self.attention_mechs, cond.memories)
+        )
+        contexts = tuple(
+            jnp.zeros((batch, mem.shape[2]), self.dtype) for mem in cond.memories
+        )
+        return DecoderState(
+            attention_lstm=ZoneoutLSTMCell.initial_state(
+                batch, self.attention_rnn_out_units, self.dtype
+            ),
+            decoder_lstms=tuple(
+                ZoneoutLSTMCell.initial_state(batch, self.decoder_out_units, self.dtype)
+                for _ in range(self.num_decoder_layers)
+            ),
+            attention_states=att_states,
+            contexts=contexts,
+            time=jnp.zeros((), jnp.int32),
+        )
+
+    def compute_keys(self, memories: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
+        return tuple(
+            mech.compute_keys(mem) for mech, mem in zip(self.attentions, memories)
+        )
+
+    def go_frame(self, batch: int) -> jnp.ndarray:
+        return jnp.zeros((batch, self.n_feed_frame * self.out_dim), self.dtype)
+
+    # ------------------------------------------------------------------ #
+    # One step of the wrapped-cell stack (SURVEY.md §3.4)
+    # ------------------------------------------------------------------ #
+
+    def step(self, state: DecoderState, feed: jnp.ndarray, cond: DecoderConditioning):
+        """feed: (B, n_feed_frame · out_dim) previous frame(s) or teacher frames."""
+        x = self.prenet(feed.astype(self.dtype))
+        if cond.speaker_embed is not None:
+            x = jnp.concatenate([x, cond.speaker_embed.astype(self.dtype)], axis=-1)
+        att_in = jnp.concatenate([x, *state.contexts], axis=-1)
+        new_att_lstm, query = self.attention_lstm(state.attention_lstm, att_in)
+
+        contexts, aligns, new_att_states = [], [], []
+        for i, mech in enumerate(self.attentions):
+            kwargs = {}
+            if isinstance(mech, TeacherForcingAttention):
+                kwargs["ratio"] = cond.teacher_ratio
+            ctx, probs, new_as = mech(
+                query,
+                cond.keys[i],
+                cond.memories[i],
+                cond.masks[i],
+                state.attention_states[i],
+                **kwargs,
+            )
+            contexts.append(ctx)
+            aligns.append(probs)
+            new_att_states.append(new_as)
+
+        out = jnp.concatenate([query, *contexts], axis=-1).astype(self.dtype)
+        new_dec_states = []
+        for cell, carry in zip(self.decoder_lstms, state.decoder_lstms):
+            new_carry, y = cell(carry, out)
+            new_dec_states.append(new_carry)
+            out = y + out if y.shape == out.shape else y  # residual when dims match
+
+        new_state = DecoderState(
+            attention_lstm=new_att_lstm,
+            decoder_lstms=tuple(new_dec_states),
+            attention_states=tuple(new_att_states),
+            contexts=tuple(contexts),
+            time=state.time + 1,
+        )
+        return new_state, (out, tuple(aligns))
+
+    # ------------------------------------------------------------------ #
+    # Output head: full-sequence (training) and incremental (inference)
+    # ------------------------------------------------------------------ #
+
+    def post(self, features: jnp.ndarray):
+        """features: (B, N, D) scanned step outputs → frames + stop logits.
+
+        Returns ({head: (B, N·r, dim)}, stop (B, N·r), sa_alignments).
+        """
+        sa_aligns = []
+        if self.use_self_attention:
+            features, sa_aligns = self.transformer(features, mask=None, causal=True)
+        b, n, _ = features.shape
+        r = self.outputs_per_step
+        frames = {}
+        for (head, dim), proj in zip(self.output_heads, self.frame_projections):
+            block = proj(features)                       # (B, N, r·dim)
+            frames[head] = block.reshape(b, n * r, dim)
+        stop = self.stop_projection(features).reshape(b, n * r)
+        return frames, stop, sa_aligns
+
+    def init_caches(self, batch: int, max_len: int):
+        if self.use_self_attention:
+            return self.transformer.init_cache(batch, max_len)
+        return ()
+
+    def post_step(self, feature: jnp.ndarray, caches, index: jnp.ndarray):
+        """One-step output head. feature: (B, D) → frame blocks + stop (B, r)."""
+        if self.use_self_attention:
+            feature, caches = self.transformer.incremental_step(feature, caches, index)
+        r = self.outputs_per_step
+        frames = {}
+        for (head, dim), proj in zip(self.output_heads, self.frame_projections):
+            frames[head] = proj(feature).reshape(-1, r, dim)   # (B, r, dim)
+        stop = self.stop_projection(feature)                    # (B, r)
+        return frames, stop, caches
+
+    # ------------------------------------------------------------------ #
+    # Teacher-forced training decode
+    # ------------------------------------------------------------------ #
+
+    def make_teacher_feeds(self, targets: jnp.ndarray) -> jnp.ndarray:
+        """targets: (B, T, out_dim), T divisible by r → feeds (B, N, n_feed·out_dim).
+
+        Step n is fed the last ``n_feed_frame`` ground-truth frames of group
+        n−1 (go-frame zeros for step 0) — reference TrainingHelper semantics
+        (feed every r-th frame block).
+        """
+        b, t, m = targets.shape
+        r = self.outputs_per_step
+        assert t % r == 0, "targets must be padded to a multiple of outputs_per_step"
+        n = t // r
+        groups = targets.reshape(b, n, r, m)
+        prev = groups[:, :-1, r - self.n_feed_frame :, :].reshape(b, n - 1, -1)
+        go = jnp.zeros((b, 1, self.n_feed_frame * m), targets.dtype)
+        return jnp.concatenate([go, prev], axis=1)
+
+    def __call__(self, cond: DecoderConditioning, targets: jnp.ndarray):
+        """Teacher-forced forward pass.
+
+        Returns ({head: frames}, stop_logits (B, T), alignments tuple
+        [(B, N, S_i) per source], sa_alignments).
+        """
+        feeds = self.make_teacher_feeds(targets)
+        state = self.initial_state(cond)
+
+        def body(mdl, carry, feed):
+            return mdl.step(carry, feed, cond)
+
+        scan = nn.scan(
+            body,
+            variable_broadcast=["params", "batch_stats"],
+            split_rngs={"params": False, "dropout": True, "zoneout": True},
+            in_axes=1,
+            out_axes=1,
+        )
+        _, (features, aligns) = scan(self, state, feeds)
+        frames, stop, sa_aligns = self.post(features)
+        return frames, stop, aligns, sa_aligns
+
+
+# --------------------------------------------------------------------------- #
+# Named reference decoder configurations
+# --------------------------------------------------------------------------- #
+
+
+def _decoder_kwargs(hparams, is_training, dtype, output_heads):
+    return dict(
+        output_heads=output_heads,
+        outputs_per_step=hparams.outputs_per_step,
+        n_feed_frame=hparams.n_feed_frame,
+        prenet_out_units=hparams.decoder_prenet_out_units,
+        prenet_drop_rate=hparams.decoder_prenet_drop_rate,
+        attention_rnn_out_units=hparams.attention_out_units,
+        decoder_out_units=hparams.decoder_out_units,
+        zoneout_factor_cell=hparams.zoneout_factor_cell,
+        zoneout_factor_output=hparams.zoneout_factor_output,
+        self_attention_out_units=hparams.decoder_self_attention_out_units,
+        self_attention_num_heads=hparams.decoder_self_attention_num_heads,
+        self_attention_num_hop=hparams.decoder_self_attention_num_hop,
+        self_attention_drop_rate=hparams.decoder_self_attention_drop_rate,
+        is_training=is_training,
+        dtype=dtype,
+        name="decoder",
+    )
+
+
+def mel_heads(hparams) -> Tuple[Tuple[str, int], ...]:
+    return (("mel", hparams.num_mels),)
+
+
+def mgc_lf0_heads(hparams) -> Tuple[Tuple[str, int], ...]:
+    return (("mgc", hparams.num_mgcs), ("lf0", hparams.num_lf0s))
+
+
+def decoder_factory(
+    hparams,
+    attention_mechs: Tuple[nn.Module, ...],
+    is_training: bool,
+    dtype: Dtype = jnp.float32,
+) -> Decoder:
+    """Map ``hparams.decoder`` to a configured :class:`Decoder`.
+
+    Known names (reference parity, SURVEY.md §2.1): ``ExtendedDecoder``
+    (single-source), ``DualSourceDecoder``, ``SelfAttentionDecoder``,
+    ``DualSourceSelfAttentionDecoder`` and ``MgcLf0...`` variants.
+    """
+    name = hparams.decoder
+    heads = mgc_lf0_heads(hparams) if name.startswith("MgcLf0") else mel_heads(hparams)
+    base = name[len("MgcLf0"):] if name.startswith("MgcLf0") else name
+    if base == "ExtendedDecoder":
+        expected_sources, use_sa = 1, False
+    elif base == "SelfAttentionDecoder":
+        expected_sources, use_sa = 1, True
+    elif base == "DualSourceDecoder":
+        expected_sources, use_sa = 2, False
+    elif base == "DualSourceSelfAttentionDecoder":
+        expected_sources, use_sa = 2, True
+    else:
+        raise ValueError(f"unknown decoder: {name!r}")
+    if len(attention_mechs) != expected_sources:
+        raise ValueError(
+            f"{name} expects {expected_sources} attention mechanism(s), "
+            f"got {len(attention_mechs)}"
+        )
+    return Decoder(
+        attention_mechs=attention_mechs,
+        use_self_attention=use_sa,
+        **_decoder_kwargs(hparams, is_training, dtype, heads),
+    )

@@ -62,6 +62,7 @@ class MultiHeadAttention(nn.Module):
         self.k_proj = dense(self.num_units, name="k")
         self.v_proj = dense(self.num_units, name="v")
         self.out_proj = nn.Dense(self.num_units, dtype=self.dtype, name="out")
+        self.attn_drop = nn.Dropout(rate=self.drop_rate)
 
     def _split(self, x: jnp.ndarray) -> jnp.ndarray:
         b, t, _ = x.shape
@@ -88,7 +89,7 @@ class MultiHeadAttention(nn.Module):
             logits = jnp.where(cmask[None, None], logits, _NEG_INF)
         probs = jax.nn.softmax(logits, axis=-1)
         if self.drop_rate > 0.0 and self.is_training:
-            probs = nn.Dropout(rate=self.drop_rate, deterministic=False)(probs)
+            probs = self.attn_drop(probs, deterministic=False)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
         b, h, tq, dd = ctx.shape
         out = self.out_proj(ctx.transpose(0, 2, 1, 3).reshape(b, tq, h * dd))
@@ -216,3 +217,32 @@ class SelfAttentionTransformer(nn.Module):
         if mask is not None:
             x = x * mask[..., None].astype(x.dtype)
         return x, probs_all
+
+    # ---------------- incremental (AR decode) API ---------------- #
+
+    def init_cache(self, batch: int, max_len: int):
+        """Per-block (K, V) cache buffers for autoregressive decoding."""
+        return tuple(
+            (
+                jnp.zeros((batch, max_len, self.num_units), self.dtype),
+                jnp.zeros((batch, max_len, self.num_units), self.dtype),
+            )
+            for _ in range(self.num_hop)
+        )
+
+    def incremental_step(self, x: jnp.ndarray, caches, index: jnp.ndarray):
+        """One causal decode step; must match ``__call__(causal=True)`` row t.
+
+        x: (B, D) block-stack input at step ``index``. Returns (y, caches).
+        """
+        x = self.in_proj(x)
+        if self.use_positional_encoding:
+            max_len = caches[0][0].shape[1]
+            pe = positional_encoding(max_len, self.num_units, x.dtype)
+            x = x + jax.lax.dynamic_index_in_dim(pe, index, axis=0, keepdims=False)
+        new_caches = []
+        for block, (k_cache, v_cache) in zip(self.blocks, caches):
+            k_cache, v_cache = block.step_write(x, k_cache, v_cache, index)
+            x = block.step_attend(x, k_cache, v_cache, index)
+            new_caches.append((k_cache, v_cache))
+        return x, tuple(new_caches)

@@ -1,0 +1,122 @@
+"""Batched synthesis (PREDICT mode): jitted on-device AR mel decoding.
+
+Reference counterpart: estimator PREDICT mode + InferenceHelper
+(SURVEY.md §3.3 [M] — reconstructed; mount empty). This module builds ONE
+jitted function per model configuration that runs: encode (full-parallel)
+→ ``lax.while_loop`` AR decode with per-lane stop tokens (ops/decode_loop)
+→ postnets, entirely on-device. This is the north-star benchmark path.
+
+Forced-alignment mode (``hparams.use_forced_alignment_mode``): when the
+attention is a teacher-forcing variant, supply ``target_lengths`` in the
+batch and the diagonal ratio is derived automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from self_attention_tacotron_tpu.models.models import TacotronModelBase, TacotronNetwork
+from self_attention_tacotron_tpu.ops.decode_loop import DecodeResult, decode_incrementally
+
+
+def make_predict_fn(model: TacotronModelBase, max_iters: Optional[int] = None):
+    """Build a jitted ``predict(variables, batch, rng) -> dict`` function.
+
+    ``batch`` fields: ``source`` (B,S) int32, ``source_lengths`` (B,),
+    optional ``accent_type`` (B,S), ``speaker_id`` (B,), optional
+    ``target_lengths`` (B,) for forced-alignment mode.
+    """
+    hp = model.hparams
+    net: TacotronNetwork = model.network(is_training=False)
+    max_steps = int(max_iters or hp.max_iters)
+    r = hp.outputs_per_step
+
+    @functools.partial(jax.jit, static_argnames=())
+    def predict(variables, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        source = batch["source"]
+        src_len = batch["source_lengths"]
+        batch_size, src_max = source.shape
+        enc_rng, dec_rng = jax.random.split(rng)
+
+        cond, enc_sa = net.apply(
+            variables,
+            source,
+            src_len,
+            batch.get("accent_type"),
+            batch.get("speaker_id"),
+            method=TacotronNetwork.encode,
+            rngs={"dropout": enc_rng},
+        )
+        if "target_lengths" in batch:
+            # S/T_dec positions per decoder step for teacher-forcing attention
+            dec_steps = jnp.maximum(batch["target_lengths"] // r, 1)
+            cond = cond.replace(
+                teacher_ratio=src_len.astype(jnp.float32) / dec_steps.astype(jnp.float32)
+            )
+
+        init_state = net.apply(variables, cond, method=TacotronNetwork.decoder_initial_state)
+        init_caches = net.apply(
+            variables, batch_size, max_steps, method=TacotronNetwork.decoder_init_caches
+        )
+        go = net.apply(variables, batch_size, method=TacotronNetwork.decoder_go_frame)
+
+        def step_fn(state, feed, step_rng):
+            new_state, (feature, aligns) = net.apply(
+                variables,
+                state,
+                feed,
+                cond,
+                method=TacotronNetwork.decoder_step,
+                rngs={"dropout": step_rng},
+            )
+            return new_state, feature, aligns
+
+        def post_step_fn(feature, caches, t):
+            return net.apply(
+                variables, feature, caches, t, method=TacotronNetwork.decoder_post_step
+            )
+
+        head_dims = model.head_dims()
+        result: DecodeResult = decode_incrementally(
+            step_fn=step_fn,
+            post_step_fn=post_step_fn,
+            init_state=init_state,
+            init_caches=init_caches,
+            go_frame=go,
+            src_shapes=tuple(m.shape[1] for m in cond.memories),
+            head_dims=head_dims,
+            batch=batch_size,
+            max_iters=max_steps,
+            outputs_per_step=r,
+            n_feed_frame=hp.n_feed_frame,
+            stop_threshold=hp.stop_token_threshold,
+            rng=dec_rng,
+        )
+
+        out = {
+            "lengths": result.lengths,
+            "stop_probs": result.stop_probs,
+            "alignments": result.alignments,
+            "encoder_sa_alignments": enc_sa,
+            "finished": result.finished,
+            "num_steps": result.num_steps,
+        }
+        out.update(result.frames)
+        if "mel" in result.frames and (hp.use_postnet_v2 or hp.use_linear_spectrogram_postnet):
+            postnet_mel, linear = net.apply(
+                variables,
+                result.frames["mel"],
+                result.lengths,
+                method=TacotronNetwork.postnet_apply,
+            )
+            if postnet_mel is not None:
+                out["postnet_mel"] = postnet_mel
+            if linear is not None:
+                out["linear"] = linear
+        return out
+
+    return predict
