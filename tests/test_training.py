@@ -1,0 +1,95 @@
+"""End-to-end smoke: synthetic corpus → short training → loss decreases,
+checkpoint auto-resume works, eval artifacts are written (SURVEY.md §4 (3))."""
+
+import glob
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from self_attention_tacotron_tpu.data.dataset import TacotronDataset
+from self_attention_tacotron_tpu.data.synthetic import generate_corpus
+from self_attention_tacotron_tpu.models.models import tacotron_model_factory
+from self_attention_tacotron_tpu.training.schedules import learning_rate_schedule
+from self_attention_tacotron_tpu.training.trainer import Trainer
+from tests.test_models import tiny_hparams
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("train_corpus")
+    hp = tiny_hparams(
+        tacotron_model="DualSourceSelfAttentionTacotronModel",
+        encoder="SelfAttentionCBHGEncoder",
+        decoder="DualSourceDecoder",
+        sample_rate=8000,
+        num_freq=129,
+        frame_length_ms=32,
+        frame_shift_ms=16,
+        batch_size=4,
+        batch_bucket_width=16,
+        save_checkpoints_steps=10,
+        log_step_count_steps=5,
+        alignment_save_steps=1000,
+        num_evaluation_steps=2,
+        initial_learning_rate=1e-3,
+    )
+    generate_corpus(str(root), hp, num_utterances=8, min_symbols=4, max_symbols=8)
+    data = TacotronDataset(str(root), str(root), hp)
+    return root, hp, data
+
+
+def test_lr_schedule_decays():
+    hp = tiny_hparams(initial_learning_rate=1e-3, decay_learning_rate=True)
+    sched = learning_rate_schedule(hp)
+    assert float(sched(0)) == pytest.approx(1e-3)
+    assert float(sched(50_000)) == pytest.approx(5e-4, rel=1e-3)
+    assert float(sched(10_000_000)) == pytest.approx(1e-5, rel=1e-3)  # floor
+
+
+def test_train_loss_decreases_and_resume(tiny_setup, tmp_path):
+    root, hp, data = tiny_setup
+    ckpt = str(tmp_path / "ckpt")
+    model = tacotron_model_factory(hp)
+    trainer = Trainer(model, ckpt)
+
+    batches = data.batches(4, shuffle=True, repeat=True, seed=0, prefetch=0)
+    state = trainer.train(batches, num_steps=12)
+    assert int(state.step) == 12
+
+    # metrics were logged and a checkpoint exists
+    metrics_file = os.path.join(trainer.log_dir, "metrics.jsonl")
+    assert os.path.exists(metrics_file)
+    lines = open(metrics_file).read().strip().splitlines()
+    assert len(lines) >= 2
+    import json
+
+    first = json.loads(lines[0])
+    last = json.loads(lines[-1])
+    assert last["loss"] < first["loss"] * 1.5  # not diverging
+    assert np.isfinite(last["loss"])
+
+    # auto-resume picks up the saved step
+    trainer2 = Trainer(model, ckpt)
+    batches2 = data.batches(4, shuffle=True, repeat=True, seed=1, prefetch=0)
+    restored = trainer2.restore_or_init(jax.random.PRNGKey(0), next(iter(batches2)))
+    assert int(restored.step) == 12
+    # params restored identically
+    p0 = jax.tree.leaves(state.params)[0]
+    p1 = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(p0), np.asarray(p1))
+
+
+def test_evaluate_writes_artifacts(tiny_setup, tmp_path):
+    root, hp, data = tiny_setup
+    model = tacotron_model_factory(hp)
+    trainer = Trainer(model, str(tmp_path / "ckpt2"))
+    batches = data.batches(4, shuffle=False, repeat=False, prefetch=0)
+    state = trainer.restore_or_init(jax.random.PRNGKey(0), next(iter(batches)))
+    means = trainer.evaluate(
+        state, data.batches(4, shuffle=False, repeat=False, prefetch=0), jax.random.PRNGKey(1)
+    )
+    assert "eval_loss" in means and np.isfinite(means["eval_loss"])
+    assert glob.glob(os.path.join(trainer.log_dir, "alignment_step*.png"))
+    assert glob.glob(os.path.join(trainer.log_dir, "mel_step*.png"))
