@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Synthesize mel spectrograms (PREDICT mode) for a test list.
+
+Reference-parity CLI (``self-attention-tacotron/predict_mel.py``,
+SURVEY.md §2.1/§3.3 [M] — reconstructed; mount empty). Per utterance it
+writes the predicted mel as raw float32 (``.mfbsp``-style binary) plus
+alignment PNGs; ``--hparams=use_forced_alignment_mode=true`` switches the
+attention to the teacher-forcing variant using ground-truth lengths.
+
+Usage:
+  predict_mel.py --source-data-root=<dir> --target-data-root=<dir> \
+                 --checkpoint-dir=<dir> --output-dir=<dir> \
+                 [--selected-list-dir=<dir>] [--test-list-filename=<name>] \
+                 [--hparams=<k=v,...>] [--batch-size=<n>]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--source-data-root", required=True)
+    p.add_argument("--target-data-root", default=None)
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--selected-list-dir", default=None)
+    p.add_argument("--test-list-filename", default="test")
+    p.add_argument("--hparams", default="")
+    p.add_argument("--batch-size", type=int, default=None)
+    args = p.parse_args()
+
+    from self_attention_tacotron_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()
+
+    import jax
+    import numpy as np
+
+    from self_attention_tacotron_tpu.data.dataset import (
+        TacotronDataset,
+        read_selected_list,
+    )
+    from self_attention_tacotron_tpu.hparams import default_hparams
+    from self_attention_tacotron_tpu.models.models import tacotron_model_factory
+    from self_attention_tacotron_tpu.synthesis import make_predict_fn
+    from self_attention_tacotron_tpu.training.metrics import (
+        save_alignment_png,
+        save_mel_comparison_png,
+    )
+    from self_attention_tacotron_tpu.training.trainer import Trainer
+
+    hparams = default_hparams()
+    hparams.parse(args.hparams)
+    if hparams.use_forced_alignment_mode and not hparams.attention.startswith(
+        "teacher_forcing"
+    ):
+        hparams.attention = "teacher_forcing_" + hparams.attention
+
+    target_root = args.target_data_root or args.source_data_root
+    ids = None
+    if args.selected_list_dir:
+        ids = read_selected_list(args.selected_list_dir, args.test_list_filename)
+    data = TacotronDataset(args.source_data_root, target_root, hparams, utterance_ids=ids)
+
+    model = tacotron_model_factory(hparams)
+    trainer = Trainer(model, args.checkpoint_dir)
+    batch_size = args.batch_size or hparams.batch_size
+    batches = data.batches(
+        batch_size, shuffle=False, repeat=False, drop_incomplete=False, prefetch=0
+    )
+    first = next(iter(batches))
+    state = trainer.restore_or_init(jax.random.PRNGKey(hparams.random_seed), first)
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+
+    predict = make_predict_fn(model)
+    os.makedirs(args.output_dir, exist_ok=True)
+    rng = jax.random.PRNGKey(hparams.random_seed)
+
+    def run(batch, index):
+        feed = {"source": batch["source"], "source_lengths": batch["source_lengths"]}
+        if hparams.use_accent_type:
+            feed["accent_type"] = batch["accent_type"]
+        if hparams.use_speaker_embedding:
+            feed["speaker_id"] = batch["speaker_id"]
+        if hparams.use_forced_alignment_mode:
+            feed["target_lengths"] = batch["target_lengths"]
+        out = predict(variables, feed, jax.random.fold_in(rng, index))
+        mels = np.asarray(out["mel"])
+        lengths = np.asarray(out["lengths"])
+        for i, utt_id in enumerate(batch["id"]):
+            if utt_id in seen:  # padded tail of the last batch repeats ids
+                continue
+            seen.add(utt_id)
+            n = int(lengths[i])
+            mel = mels[i, :n]
+            mel.astype(np.float32).tofile(
+                os.path.join(args.output_dir, f"{utt_id}.{hparams.predicted_mel_extension}")
+            )
+            aligns = [np.asarray(a[i]) for a in out["alignments"]]
+            save_alignment_png(
+                aligns,
+                os.path.join(args.output_dir, f"{utt_id}_alignment.png"),
+                info=utt_id,
+                source_length=int(batch["source_lengths"][i]),
+                decoder_steps=max(n // hparams.outputs_per_step, 1),
+            )
+            save_mel_comparison_png(
+                mel,
+                batch["mel"][i][: batch["target_lengths"][i]] if "mel" in batch else None,
+                os.path.join(args.output_dir, f"{utt_id}_mel.png"),
+                info=utt_id,
+            )
+            print(f"{utt_id}: {n} frames")
+
+    seen = set()
+    run(first, 0)
+    for index, batch in enumerate(batches, start=1):
+        run(batch, index)
+    print(f"wrote predictions to {args.output_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""Sharding tests on the virtual 8-device CPU mesh (conftest forces it)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from self_attention_tacotron_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    param_sharding_rules,
+    replicated,
+    shard_batch,
+    shard_params,
+)
+
+
+def test_virtual_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh2 = make_mesh((4, 2))
+    assert mesh2.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh((3, 2))
+
+
+def test_shard_batch_splits_on_data_axis():
+    mesh = make_mesh()
+    batch = {"x": np.ones((16, 5), np.float32), "id": np.array(["a", "b"])}
+    out = shard_batch(batch, mesh)
+    shard_shapes = [s.data.shape for s in out["x"].addressable_shards]
+    assert all(s == (2, 5) for s in shard_shapes)
+    assert isinstance(out["id"], np.ndarray)  # strings untouched
+
+
+def test_shard_batch_replicates_indivisible():
+    mesh = make_mesh()
+    out = shard_batch({"x": np.ones((3, 5), np.float32)}, mesh)
+    assert out["x"].sharding.is_fully_replicated
+
+
+def test_param_rules_shard_ffn_and_embedding():
+    mesh = make_mesh((4, 2))
+    emb = np.ones((64, 32), np.float32)
+    s = param_sharding_rules("encoder/self_attention/block_0/ffn1/kernel", emb, mesh)
+    assert not s.is_fully_replicated
+    s2 = param_sharding_rules("embedding/embedding", emb, mesh)
+    assert not s2.is_fully_replicated
+    # odd dims fall back to replication
+    odd = np.ones((64, 33), np.float32)
+    assert param_sharding_rules("x/ffn1/kernel", odd, mesh).is_fully_replicated
+    # non-matching params replicate
+    assert param_sharding_rules("decoder/prenet/kernel", emb, mesh).is_fully_replicated
+
+
+def test_sharded_matmul_matches_replicated():
+    """DP+TP sharded computation must equal single-device numerics."""
+    mesh = make_mesh((4, 2))
+    x = np.random.RandomState(0).rand(8, 32).astype(np.float32)
+    w = np.random.RandomState(1).rand(32, 64).astype(np.float32)
+    params = {"encoder": {"self_attention": {"block_0": {"ffn1": {"kernel": w}}}}}
+    sharded = shard_params(params, mesh)
+    xb = jax.device_put(x, batch_sharding(mesh, 2))
+
+    @jax.jit
+    def f(p, x):
+        return x @ p["encoder"]["self_attention"]["block_0"]["ffn1"]["kernel"]
+
+    with mesh:
+        got = f(sharded, xb)
+    np.testing.assert_allclose(np.asarray(got), x @ w, rtol=1e-5)
+
+
+def test_graft_entry_single_chip():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out, loss = jax.jit(fn)(*args)
+    assert np.isfinite(float(loss))
+
+
+@pytest.mark.slow
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
