@@ -63,6 +63,7 @@ def run_bench(
     repeats: int,
     seed: int = 0,
     compute_dtype: str = "bfloat16",
+    profile_dir: str | None = None,
 ):
     import jax
     import jax.numpy as jnp
@@ -111,6 +112,12 @@ def run_bench(
         jax.block_until_ready(out["mel"])
         times.append(time.perf_counter() - t0)
     best = min(times)
+
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            out = predict(variables, batch, jax.random.fold_in(key, 99))
+            jax.block_until_ready(out["mel"])
+        print(f"[bench] wrote jax.profiler trace to {profile_dir}", file=sys.stderr)
     fps = batch_size * frames / best
     return dict(
         frames_per_sec=fps,
@@ -129,6 +136,11 @@ def main():
     p.add_argument("--source-length", type=int, default=128)
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--skip-rtf", action="store_true")
+    p.add_argument(
+        "--profile-dir",
+        default=None,
+        help="capture a jax.profiler trace (xplane) of one timed decode",
+    )
     p.add_argument("--measure-cpu-baseline", action="store_true",
                    help="force CPU and report (for updating the baseline constant)")
     args = p.parse_args()
@@ -149,6 +161,7 @@ def main():
         args.repeats,
         # the CPU stand-in baseline runs float32, like the TF-CPU reference would
         compute_dtype="float32" if args.measure_cpu_baseline else "bfloat16",
+        profile_dir=args.profile_dir,
     )
     print(
         f"[bench] device={result['device']} batch={result['batch_size']} "

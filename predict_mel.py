@@ -30,6 +30,12 @@ def main():
     p.add_argument("--test-list-filename", default="test")
     p.add_argument("--hparams", default="")
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument(
+        "--write-wav",
+        action="store_true",
+        help="Griffin-Lim a waveform from the predicted linear spectrogram "
+        "(requires use_linear_spectrogram_postnet=true)",
+    )
     args = p.parse_args()
 
     from self_attention_tacotron_tpu.utils.platform import apply_platform_override
@@ -80,6 +86,15 @@ def main():
     predict = make_predict_fn(model)
     os.makedirs(args.output_dir, exist_ok=True)
     rng = jax.random.PRNGKey(hparams.random_seed)
+    audio = None
+    if args.write_wav:
+        if not hparams.use_linear_spectrogram_postnet:
+            raise SystemExit(
+                "--write-wav requires --hparams=use_linear_spectrogram_postnet=true"
+            )
+        from self_attention_tacotron_tpu.audio import Audio
+
+        audio = Audio(hparams)
 
     def run(batch, index):
         feed = {"source": batch["source"], "source_lengths": batch["source_lengths"]}
@@ -115,6 +130,9 @@ def main():
                 os.path.join(args.output_dir, f"{utt_id}_mel.png"),
                 info=utt_id,
             )
+            if audio is not None and "linear" in out:
+                wav = audio.inv_spectrogram(np.asarray(out["linear"])[i, :n])
+                audio.save_wav(wav, os.path.join(args.output_dir, f"{utt_id}.wav"))
             print(f"{utt_id}: {n} frames")
 
     seen = set()

@@ -91,16 +91,19 @@ class AdditiveAttention(nn.Module):
     def compute_keys(self, memory: jnp.ndarray) -> jnp.ndarray:
         return self.memory_layer(memory)
 
-    def _score(self, query, keys, state):
-        q = self.query_layer(query)
+    def _score(self, query, keys, state, projected_query=None):
+        q = projected_query if projected_query is not None else self.query_layer(query)
         return jnp.einsum(
             "bsu,u->bs",
             jnp.tanh(keys + q[:, None, :]).astype(jnp.float32),
             self.attention_v[:, 0].astype(jnp.float32),
         )
 
-    def __call__(self, query, keys, memory, mask, state: AttentionState):
-        probs = _masked_softmax(self._score(query, keys, state), mask)
+    def __call__(self, query, keys, memory, mask, state: AttentionState,
+                 projected_query=None):
+        probs = _masked_softmax(
+            self._score(query, keys, state, projected_query), mask
+        )
         new_state = state.replace(
             alignments=probs,
             cumulative=state.cumulative + probs,
@@ -150,8 +153,8 @@ class LocationSensitiveAttention(nn.Module):
     def compute_keys(self, memory: jnp.ndarray) -> jnp.ndarray:
         return self.memory_layer(memory)
 
-    def _score(self, query, keys, state):
-        q = self.query_layer(query)
+    def _score(self, query, keys, state, projected_query=None):
+        q = projected_query if projected_query is not None else self.query_layer(query)
         prev = state.cumulative if self.cumulative_weights else state.alignments
         f = self.location_conv(prev.astype(self.dtype)[..., None])
         loc = self.location_layer(f)
@@ -163,8 +166,11 @@ class LocationSensitiveAttention(nn.Module):
             self.attention_v[:, 0].astype(jnp.float32),
         )
 
-    def __call__(self, query, keys, memory, mask, state: AttentionState):
-        probs = _masked_softmax(self._score(query, keys, state), mask)
+    def __call__(self, query, keys, memory, mask, state: AttentionState,
+                 projected_query=None):
+        probs = _masked_softmax(
+            self._score(query, keys, state, projected_query), mask
+        )
         new_state = state.replace(
             alignments=probs,
             cumulative=state.cumulative + probs,
@@ -205,16 +211,17 @@ class ForwardAttention(nn.Module):
     def compute_keys(self, memory: jnp.ndarray) -> jnp.ndarray:
         return self.memory_layer(memory)
 
-    def _score(self, query, keys, state):
-        q = self.query_layer(query)
+    def _score(self, query, keys, state, projected_query=None):
+        q = projected_query if projected_query is not None else self.query_layer(query)
         return jnp.einsum(
             "bsu,u->bs",
             jnp.tanh(keys + q[:, None, :]).astype(jnp.float32),
             self.attention_v[:, 0].astype(jnp.float32),
         )
 
-    def __call__(self, query, keys, memory, mask, state: AttentionState):
-        y = _masked_softmax(self._score(query, keys, state), mask)
+    def __call__(self, query, keys, memory, mask, state: AttentionState,
+                 projected_query=None):
+        y = _masked_softmax(self._score(query, keys, state, projected_query), mask)
         u = state.transition  # (B, 1)
         prev = state.alignments
         shifted = jnp.pad(prev, ((0, 0), (1, 0)))[:, :-1]  # α_{i-1}(n-1)
@@ -260,7 +267,8 @@ class TeacherForcingAttention(nn.Module):
     def compute_keys(self, memory: jnp.ndarray) -> jnp.ndarray:
         return self.memory_layer(memory)
 
-    def __call__(self, query, keys, memory, mask, state: AttentionState, *, ratio=None):
+    def __call__(self, query, keys, memory, mask, state: AttentionState, *,
+                 ratio=None, projected_query=None):
         # ratio: (B,) expected source positions per decoder step (S/T_dec).
         s = memory.shape[1]
         if ratio is None:

@@ -134,11 +134,18 @@ class Decoder(nn.Module):
                 name="self_attention",
             )
         r = self.outputs_per_step
-        self.frame_projections = [
-            nn.Dense(r * dim, dtype=self.dtype, name=f"frame_projection_{head}")
-            for head, dim in self.output_heads
-        ]
-        self.stop_projection = nn.Dense(r, dtype=self.dtype, name="stop_projection")
+        # ONE fused output matmul: [r × (all head dims) | r stop logits].
+        # Small-matmul op overhead dominates FLOPs at these dims (see
+        # scripts/profile_decode.py), and one wide matmul tiles better.
+        self.output_projection = nn.Dense(
+            r * self.out_dim + r, dtype=self.dtype, name="output_projection"
+        )
+        # dual-source: both mechanisms' query projections in one matmul
+        if len(self.attention_mechs) > 1:
+            total = sum(m.num_units for m in self.attention_mechs)
+            self.query_projection = nn.Dense(
+                total, use_bias=False, dtype=self.dtype, name="query_projection"
+            )
 
     # ------------------------------------------------------------------ #
     # State
@@ -180,19 +187,40 @@ class Decoder(nn.Module):
     # One step of the wrapped-cell stack (SURVEY.md §3.4)
     # ------------------------------------------------------------------ #
 
-    def step(self, state: DecoderState, feed: jnp.ndarray, cond: DecoderConditioning):
-        """feed: (B, n_feed_frame · out_dim) previous frame(s) or teacher frames."""
-        x = self.prenet(feed.astype(self.dtype))
+    def step(
+        self,
+        state: DecoderState,
+        feed: jnp.ndarray,
+        cond: DecoderConditioning,
+        prenet_masks=None,
+    ):
+        """feed: (B, n_feed_frame · out_dim) previous frame(s) or teacher frames.
+
+        ``prenet_masks``: optional precomputed per-layer dropout masks for
+        this step (AR-decode fast path; see PreNet docstring).
+        """
+        x = self.prenet(feed.astype(self.dtype), dropout_masks=prenet_masks)
         if cond.speaker_embed is not None:
             x = jnp.concatenate([x, cond.speaker_embed.astype(self.dtype)], axis=-1)
         att_in = jnp.concatenate([x, *state.contexts], axis=-1)
         new_att_lstm, query = self.attention_lstm(state.attention_lstm, att_in)
+
+        # dual-source: both mechanisms' query projections in ONE matmul
+        projected_queries = [None] * len(self.attentions)
+        if len(self.attentions) > 1:
+            fused = self.query_projection(query)
+            offset = 0
+            for i, mech in enumerate(self.attentions):
+                projected_queries[i] = fused[:, offset : offset + mech.num_units]
+                offset += mech.num_units
 
         contexts, aligns, new_att_states = [], [], []
         for i, mech in enumerate(self.attentions):
             kwargs = {}
             if isinstance(mech, TeacherForcingAttention):
                 kwargs["ratio"] = cond.teacher_ratio
+            else:
+                kwargs["projected_query"] = projected_queries[i]
             ctx, probs, new_as = mech(
                 query,
                 cond.keys[i],
@@ -235,12 +263,19 @@ class Decoder(nn.Module):
             features, sa_aligns = self.transformer(features, mask=None, causal=True)
         b, n, _ = features.shape
         r = self.outputs_per_step
-        frames = {}
-        for (head, dim), proj in zip(self.output_heads, self.frame_projections):
-            block = proj(features)                       # (B, N, r·dim)
-            frames[head] = block.reshape(b, n * r, dim)
-        stop = self.stop_projection(features).reshape(b, n * r)
+        block = self.output_projection(features)         # (B, N, r·out_dim + r)
+        frame_block = block[..., : r * self.out_dim].reshape(b, n * r, self.out_dim)
+        frames = self._split_heads(frame_block)
+        stop = block[..., r * self.out_dim :].reshape(b, n * r)
         return frames, stop, sa_aligns
+
+    def _split_heads(self, frame_block: jnp.ndarray):
+        frames = {}
+        offset = 0
+        for head, dim in self.output_heads:
+            frames[head] = frame_block[..., offset : offset + dim]
+            offset += dim
+        return frames
 
     def init_caches(self, batch: int, max_len: int):
         if self.use_self_attention:
@@ -252,10 +287,10 @@ class Decoder(nn.Module):
         if self.use_self_attention:
             feature, caches = self.transformer.incremental_step(feature, caches, index)
         r = self.outputs_per_step
-        frames = {}
-        for (head, dim), proj in zip(self.output_heads, self.frame_projections):
-            frames[head] = proj(feature).reshape(-1, r, dim)   # (B, r, dim)
-        stop = self.stop_projection(feature)                    # (B, r)
+        block = self.output_projection(feature)          # (B, r·out_dim + r)
+        frame_block = block[:, : r * self.out_dim].reshape(-1, r, self.out_dim)
+        frames = self._split_heads(frame_block)          # head → (B, r, dim)
+        stop = block[:, r * self.out_dim :]              # (B, r)
         return frames, stop, caches
 
     # ------------------------------------------------------------------ #

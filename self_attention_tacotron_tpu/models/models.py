@@ -228,8 +228,8 @@ class TacotronNetwork(nn.Module):
     def decoder_go_frame(self, batch: int):
         return self.decoder.go_frame(batch)
 
-    def decoder_step(self, state, feed, cond: DecoderConditioning):
-        return self.decoder.step(state, feed, cond)
+    def decoder_step(self, state, feed, cond: DecoderConditioning, prenet_masks=None):
+        return self.decoder.step(state, feed, cond, prenet_masks=prenet_masks)
 
     def decoder_post_step(self, feature, caches, index):
         return self.decoder.post_step(feature, caches, index)

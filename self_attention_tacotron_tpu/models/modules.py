@@ -76,6 +76,12 @@ class PreNet(nn.Module):
     The always-on dropout is load-bearing: Tacotron's autoregressive decoder
     relies on prenet dropout at synthesis time for output variation
     (reference PreNet applies dropout unconditionally [M]).
+
+    TPU perf note: sampling a fresh threefry mask inside the AR while-loop
+    costs ~100 µs/step on v5e — far more than the prenet matmuls. The AR
+    decode driver therefore precomputes per-step masks in ONE rng call and
+    passes them via ``dropout_masks`` (same keep/scale semantics as
+    ``nn.Dropout``); when absent we fall back to per-call rng draws.
     """
 
     out_units: Sequence[int]
@@ -83,10 +89,19 @@ class PreNet(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        for units in self.out_units:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        dropout_masks: Optional[Sequence[jnp.ndarray]] = None,
+    ) -> jnp.ndarray:
+        keep = 1.0 - self.drop_rate
+        for i, units in enumerate(self.out_units):
             x = nn.relu(nn.Dense(units, dtype=self.dtype)(x))
-            x = nn.Dropout(rate=self.drop_rate, deterministic=False)(x)
+            if dropout_masks is not None:
+                mask = dropout_masks[i]
+                x = jnp.where(mask, x / keep, jnp.zeros_like(x))
+            else:
+                x = nn.Dropout(rate=self.drop_rate, deterministic=False)(x)
         return x
 
 

@@ -47,7 +47,13 @@ def positional_encoding(length: int, dim: int, dtype: Dtype = jnp.float32) -> jn
 
 
 class MultiHeadAttention(nn.Module):
-    """Scaled dot-product multi-head attention with optional causal masking."""
+    """Multi-head *self*-attention with optional causal masking.
+
+    TPU-first: Q, K, V are ONE fused (D → 3D) matmul — on this model's
+    small dims each extra matmul op costs far more than its FLOPs (v5e
+    measurement: ~55 µs fixed per small matmul, scripts/profile_decode.py),
+    and one wide matmul also tiles better on the MXU.
+    """
 
     num_heads: int
     num_units: int             # total (= heads × head_dim)
@@ -57,10 +63,9 @@ class MultiHeadAttention(nn.Module):
 
     def setup(self):
         assert self.num_units % self.num_heads == 0
-        dense = functools.partial(nn.Dense, use_bias=False, dtype=self.dtype)
-        self.q_proj = dense(self.num_units, name="q")
-        self.k_proj = dense(self.num_units, name="k")
-        self.v_proj = dense(self.num_units, name="v")
+        self.qkv_proj = nn.Dense(
+            3 * self.num_units, use_bias=False, dtype=self.dtype, name="qkv"
+        )
         self.out_proj = nn.Dense(self.num_units, dtype=self.dtype, name="out")
         self.attn_drop = nn.Dropout(rate=self.drop_rate)
 
@@ -70,14 +75,12 @@ class MultiHeadAttention(nn.Module):
 
     def __call__(
         self,
-        query: jnp.ndarray,                 # (B, Tq, D)
-        memory: jnp.ndarray,                # (B, Tk, D)
-        mask: Optional[jnp.ndarray] = None,  # (B, Tk) valid-key mask
+        x: jnp.ndarray,                      # (B, T, D) self-attention input
+        mask: Optional[jnp.ndarray] = None,  # (B, T) valid mask
         causal: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        q = self._split(self.q_proj(query))   # (B, H, Tq, d)
-        k = self._split(self.k_proj(memory))  # (B, H, Tk, d)
-        v = self._split(self.v_proj(memory))
+        qkv = self.qkv_proj(x)
+        q, k, v = (self._split(p) for p in jnp.split(qkv, 3, axis=-1))
         d = q.shape[-1]
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
         logits = logits / np.sqrt(d)
@@ -97,24 +100,19 @@ class MultiHeadAttention(nn.Module):
 
     # ---------------- incremental (AR decode) API ---------------- #
 
-    def write_kv(
-        self, x: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray, index: jnp.ndarray
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Project one step ``x`` (B, D) and write K/V caches at ``index``."""
-        k = self.k_proj(x[:, None, :])
-        v = self.v_proj(x[:, None, :])
-        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k, index, axis=1)
-        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v, index, axis=1)
-        return k_cache, v_cache
-
-    def attend_one(
+    def fused_step(
         self,
-        x: jnp.ndarray,          # (B, D) current step input
+        x: jnp.ndarray,          # (B, D) current step input (already normed)
         k_cache: jnp.ndarray,    # (B, Tmax, D)
         v_cache: jnp.ndarray,
         index: jnp.ndarray,      # () current step (keys 0..index valid)
-    ) -> jnp.ndarray:
-        q = self._split(self.q_proj(x[:, None, :]))        # (B, H, 1, d)
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """One causal step: fused QKV, cache write, attend. → (out, k, v)."""
+        qkv = self.qkv_proj(x[:, None, :])                 # (B, 1, 3D)
+        q1, k1, v1 = jnp.split(qkv, 3, axis=-1)
+        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k1, index, axis=1)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v1, index, axis=1)
+        q = self._split(q1)                                # (B, H, 1, d)
         k = self._split(k_cache)                           # (B, H, T, d)
         v = self._split(v_cache)
         d = q.shape[-1]
@@ -124,7 +122,7 @@ class MultiHeadAttention(nn.Module):
         probs = jax.nn.softmax(logits, axis=-1)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
         b, h, _, dd = ctx.shape
-        return self.out_proj(ctx.reshape(b, h * dd))
+        return self.out_proj(ctx.reshape(b, h * dd)), k_cache, v_cache
 
 
 class SelfAttentionBlock(nn.Module):
@@ -157,21 +155,17 @@ class SelfAttentionBlock(nn.Module):
         return self.ffn2(h)
 
     def __call__(self, x, mask=None, causal=False):
-        normed = self.ln1(x)
-        h, probs = self.mha(normed, normed, mask=mask, causal=causal)
+        h, probs = self.mha(self.ln1(x), mask=mask, causal=causal)
         h = self.drop(h, deterministic=not self.is_training)
         x = x + h
         f = self.drop(self._ffn(self.ln2(x)), deterministic=not self.is_training)
         return x + f, probs
 
-    # incremental
-    def step_write(self, x, k_cache, v_cache, index):
-        return self.mha.write_kv(self.ln1(x), k_cache, v_cache, index)
-
-    def step_attend(self, x, k_cache, v_cache, index):
-        h = self.mha.attend_one(self.ln1(x), k_cache, v_cache, index)
+    # incremental (must mirror __call__ with is_training=False exactly)
+    def step(self, x, k_cache, v_cache, index):
+        h, k_cache, v_cache = self.mha.fused_step(self.ln1(x), k_cache, v_cache, index)
         x = x + h
-        return x + self._ffn(self.ln2(x))
+        return x + self._ffn(self.ln2(x)), k_cache, v_cache
 
 
 class SelfAttentionTransformer(nn.Module):
@@ -242,7 +236,6 @@ class SelfAttentionTransformer(nn.Module):
             x = x + jax.lax.dynamic_index_in_dim(pe, index, axis=0, keepdims=False)
         new_caches = []
         for block, (k_cache, v_cache) in zip(self.blocks, caches):
-            k_cache, v_cache = block.step_write(x, k_cache, v_cache, index)
-            x = block.step_attend(x, k_cache, v_cache, index)
+            x, k_cache, v_cache = block.step(x, k_cache, v_cache, index)
             new_caches.append((k_cache, v_cache))
         return x, tuple(new_caches)

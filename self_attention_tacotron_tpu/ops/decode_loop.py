@@ -40,7 +40,7 @@ class DecodeResult:
 
 def decode_incrementally(
     *,
-    step_fn: Callable,        # (state, feed, rng) -> (state, feature, aligns)
+    step_fn: Callable,        # (state, feed, t) -> (state, feature, aligns)
     post_step_fn: Callable,   # (feature, caches, t) -> (frames, stop, caches)
     init_state: Any,
     init_caches: Any,
@@ -52,7 +52,6 @@ def decode_incrementally(
     outputs_per_step: int,
     n_feed_frame: int,
     stop_threshold: float,
-    rng: jax.Array,
 ) -> DecodeResult:
     r = outputs_per_step
 
@@ -79,7 +78,7 @@ def decode_incrementally(
 
     def body(c):
         t = c["t"]
-        state, feature, aligns = step_fn(c["state"], c["feed"], jax.random.fold_in(rng, t))
+        state, feature, aligns = step_fn(c["state"], c["feed"], t)
         frames, stop_logits, caches = post_step_fn(feature, c["caches"], t)
 
         new_frames = {

@@ -80,8 +80,10 @@ _TP_RULES = [
     # transformer FFN: column-parallel then row-parallel (Megatron pattern)
     (re.compile(r"ffn1/kernel$"), lambda nd: P(None, "model")),
     (re.compile(r"ffn2/kernel$"), lambda nd: P("model", None)),
+    # fused QKV: column-parallel (heads split across model axis)
+    (re.compile(r"qkv/kernel$"), lambda nd: P(None, "model")),
     # wide output projections: column-parallel
-    (re.compile(r"frame_projection_\w+/kernel$"), lambda nd: P(None, "model")),
+    (re.compile(r"output_projection/kernel$"), lambda nd: P(None, "model")),
 ]
 
 

@@ -64,14 +64,29 @@ def make_predict_fn(model: TacotronModelBase, max_iters: Optional[int] = None):
         )
         go = net.apply(variables, batch_size, method=TacotronNetwork.decoder_go_frame)
 
-        def step_fn(state, feed, step_rng):
+        # Precompute every step's prenet dropout masks in one RNG call —
+        # sampling threefry inside the while_loop costs ~100us/step on v5e
+        # (measured; see scripts/profile_decode.py), dwarfing the matmuls.
+        keep = 1.0 - hp.decoder_prenet_drop_rate
+        mask_keys = jax.random.split(dec_rng, len(hp.decoder_prenet_out_units) + 1)
+        dec_rng = mask_keys[-1]
+        prenet_masks = tuple(
+            jax.random.bernoulli(k, keep, (max_steps, batch_size, units))
+            for k, units in zip(mask_keys[:-1], hp.decoder_prenet_out_units)
+        )
+
+        def step_fn(state, feed, t):
+            masks = tuple(
+                jax.lax.dynamic_index_in_dim(m, t, axis=0, keepdims=False)
+                for m in prenet_masks
+            )
             new_state, (feature, aligns) = net.apply(
                 variables,
                 state,
                 feed,
                 cond,
+                masks,
                 method=TacotronNetwork.decoder_step,
-                rngs={"dropout": step_rng},
             )
             return new_state, feature, aligns
 
@@ -94,7 +109,6 @@ def make_predict_fn(model: TacotronModelBase, max_iters: Optional[int] = None):
             outputs_per_step=r,
             n_feed_frame=hp.n_feed_frame,
             stop_threshold=hp.stop_token_threshold,
-            rng=dec_rng,
         )
 
         out = {

@@ -140,8 +140,8 @@ def test_multi_head_attention_full_and_masked():
     mha = sa.MultiHeadAttention(num_heads=2, num_units=16, is_training=False)
     x = jax.random.normal(jax.random.PRNGKey(0), (B, 5, 16))
     mask = jnp.array([[True, True, True, False, False], [True] * 5])
-    variables = mha.init(jax.random.PRNGKey(1), x, x, mask)
-    out, probs = mha.apply(variables, x, x, mask)
+    variables = mha.init(jax.random.PRNGKey(1), x, mask)
+    out, probs = mha.apply(variables, x, mask)
     assert out.shape == (B, 5, 16)
     assert probs.shape == (B, 2, 5, 5)
     np.testing.assert_allclose(np.asarray(probs[0, :, :, 3:]), 0.0, atol=1e-6)
@@ -151,31 +151,27 @@ def test_multi_head_attention_full_and_masked():
 def test_multi_head_attention_causal():
     mha = sa.MultiHeadAttention(num_heads=2, num_units=8, is_training=False)
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8))
-    variables = mha.init(jax.random.PRNGKey(1), x, x)
-    _, probs = mha.apply(variables, x, x, None, True)
+    variables = mha.init(jax.random.PRNGKey(1), x)
+    _, probs = mha.apply(variables, x, None, True)
     p = np.asarray(probs[0, 0])
     assert np.allclose(p[0, 1:], 0.0)
     assert np.allclose(p[2, 3:], 0.0)
 
 
 def test_incremental_matches_full_causal_attention():
-    """KV-cache step decoding must equal full causal attention row by row."""
+    """KV-cache fused step decoding must equal full causal attention rows."""
     mha = sa.MultiHeadAttention(num_heads=2, num_units=8, is_training=False)
     T = 5
     x = jax.random.normal(jax.random.PRNGKey(0), (B, T, 8))
-    variables = mha.init(jax.random.PRNGKey(1), x, x)
-    full_out, _ = mha.apply(variables, x, x, None, True)
+    variables = mha.init(jax.random.PRNGKey(1), x)
+    full_out, _ = mha.apply(variables, x, None, True)
 
     k_cache = jnp.zeros((B, T, 8))
     v_cache = jnp.zeros((B, T, 8))
     for t in range(T):
-        k_cache, v_cache = mha.apply(
+        step_out, k_cache, v_cache = mha.apply(
             variables, x[:, t], k_cache, v_cache, jnp.int32(t),
-            method=sa.MultiHeadAttention.write_kv,
-        )
-        step_out = mha.apply(
-            variables, x[:, t], k_cache, v_cache, jnp.int32(t),
-            method=sa.MultiHeadAttention.attend_one,
+            method=sa.MultiHeadAttention.fused_step,
         )
         np.testing.assert_allclose(
             np.asarray(step_out), np.asarray(full_out[:, t]), atol=1e-5

@@ -9,7 +9,7 @@ def _run(stop_step_per_lane, batch=3, max_iters=10, r=2, dim=4):
     """Drive the loop with stub step fns; lane i fires its stop at a given step."""
     stop_steps = jnp.asarray(stop_step_per_lane)
 
-    def step_fn(state, feed, rng):
+    def step_fn(state, feed, step_index):
         t = state
         feature = jnp.full((batch, dim), t, jnp.float32)
         aligns = (jnp.ones((batch, 5)) / 5.0,)
@@ -35,7 +35,6 @@ def _run(stop_step_per_lane, batch=3, max_iters=10, r=2, dim=4):
         outputs_per_step=r,
         n_feed_frame=1,
         stop_threshold=0.5,
-        rng=jax.random.PRNGKey(0),
     )
 
 
