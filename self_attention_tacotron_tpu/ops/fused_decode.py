@@ -1,0 +1,535 @@
+"""Fused whole-loop AR decode: ONE Pallas kernel for the entire synthesis.
+
+This is the framework's flagship TPU kernel. Motivation (measured on the
+bench v5e, scripts/profile_decode.py): each dispatched XLA op costs ~50 µs
+on the serving path while the same matmul inside a Pallas kernel costs
+~2-4 µs — so the lax.while_loop decode (~11 small matmuls on the critical
+path per step) is dispatch-bound at ~150 µs/step. Moving the WHOLE decode
+loop inside one `pallas_call` keeps every weight resident in VMEM across
+all steps and pays kernel-launch cost once per utterance batch instead of
+~15 ops × 500 steps.
+
+Covers the flagship configuration (checked by ``supports_fused_decode``):
+DualSourceSelfAttentionDecoder with forward (no transition agent) +
+additive attention, single-hop decoder self-attention, mel head,
+eval-mode zoneout. Everything else falls back to the generic XLA loop in
+ops/decode_loop.py.
+
+In-kernel structure per decoder step t:
+  prenet (dropout via the on-core PRNG — same distribution as the
+  reference's always-on prenet dropout, different bitstream)
+  → attention ZoneoutLSTM → fused dual query projection
+  → forward-attention α recursion + additive attention (scores as
+    (B·S, U)×(U, 1) MXU matmuls; contexts as batched matvecs)
+  → 2 residual ZoneoutLSTMs
+  → self-attention with K/V caches in HBM (contiguous (T, B, D) layout;
+    per-step cache append + two chunked DMA sweeps: logits pass then
+    value pass, reusing one 2 MB VMEM chunk buffer)
+  → fused output projection (frames ‖ stop logits)
+  → per-lane stop tracking; frame/stop/alignment rows DMA'd to HBM.
+
+All matmuls accumulate in float32; softmaxes and α recursions in float32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def supports_fused_decode(hp) -> bool:
+    """The flagship configuration the kernel specializes."""
+    return (
+        hp.decoder == "DualSourceSelfAttentionDecoder"
+        and hp.attention == "forward"
+        and not hp.use_forward_attention_transition_agent
+        and hp.attention2 == "additive"
+        and hp.decoder_self_attention_num_hop == 1
+        and hp.n_feed_frame == 1
+        and len(hp.decoder_prenet_out_units) == 2
+        and not hp.use_forced_alignment_mode
+    )
+
+
+def _lstm_gate(x_h: jnp.ndarray, w, b, c, h, zc: float, zo: float):
+    """Fused-gate ZoneoutLSTM step (eval semantics), f32 state."""
+    z = jnp.dot(x_h, w[:], preferred_element_type=jnp.float32) + b[:].astype(
+        jnp.float32
+    )
+    i, g, f, o = jnp.split(z, 4, axis=-1)
+    new_c = jax.nn.sigmoid(f + 1.0) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
+    out_c = zc * c + (1.0 - zc) * new_c
+    out_h = zo * h + (1.0 - zo) * new_h
+    return out_c, out_h
+
+
+def _layer_norm(x, scale, bias):
+    m = jnp.mean(x, axis=-1, keepdims=True)
+    v = jnp.mean(jnp.square(x - m), axis=-1, keepdims=True)
+    return (x - m) * jax.lax.rsqrt(v + 1e-6) * scale[:].astype(x.dtype) + bias[
+        :
+    ].astype(x.dtype)
+
+
+def _score_matmul(keys, q, v):
+    """Additive attention scores: vᵀ tanh(keys + q) as one MXU matmul.
+
+    keys: (B, S, U) bf16, q: (B, U) f32, v: (U, 1) f32 → (B, S) f32.
+    """
+    b, s, u = keys.shape
+    t = jnp.tanh(keys[:].astype(jnp.float32) + q[:, None, :])
+    return jnp.dot(
+        t.reshape(b * s, u), v[:].astype(jnp.float32), preferred_element_type=jnp.float32
+    ).reshape(b, s)
+
+
+def _context(alpha, memory):
+    """(B, S) f32 × (B, S, D) bf16 → (B, D) f32 batched matvec.
+
+    Mosaic has no batched dot_general; a broadcast-multiply + sublane
+    reduction is ~1 µs on the VPU at these shapes.
+    """
+    return jnp.sum(alpha[:, :, None] * memory[:].astype(jnp.float32), axis=1)
+
+
+def _make_kernel(cfg: Dict[str, Any]):
+    B = cfg["batch"]
+    S = cfg["src_len"]
+    T = cfg["max_iters"]
+    R = cfg["r"]
+    M = cfg["num_mels"]
+    P1, P2 = cfg["prenet_units"]          # 256, 128
+    AU = cfg["att_units"]                 # attention LSTM units (256)
+    A1, A2 = cfg["att1_units"], cfg["att2_units"]  # 224, 32
+    DU = cfg["dec_units"]                 # 256
+    SA = cfg["sa_units"]                  # 256
+    H = cfg["sa_heads"]                   # 2
+    HD = SA // H
+    E1, E2 = cfg["mem1_dim"], cfg["mem2_dim"]
+    CH = cfg["cache_chunk"]               # cache DMA chunk (steps)
+    n_chunks = (T + CH - 1) // CH
+    io_dtype = jnp.bfloat16 if cfg["io_dtype"] == "bfloat16" else jnp.float32
+    zc, zo = cfg["zoneout_cell"], cfg["zoneout_output"]
+    keep = 1.0 - cfg["prenet_drop_rate"]
+    keep_u32 = np.uint32(min(int(keep * 2**32), 2**32 - 1))
+    stop_threshold = cfg["stop_threshold"]
+    out_width = R * M + R
+    # DMA'd row slices need 128-aligned trailing dims (Mosaic tiling)
+    out_pad = ((out_width + 127) // 128) * 128
+    align_pad = ((2 * S + 127) // 128) * 128
+
+    def kernel(
+        # ---- inputs (VMEM unless noted) ----
+        seed_ref,          # (1,) i32 SMEM
+        feed0_ref,         # (B, M) bf16
+        score_bias_ref,    # (B, S) f32: 0 valid / -1e9 padded
+        keys1_ref,         # (B, S, A1) bf16
+        keys2_ref,         # (B, S, A2) bf16
+        mem1_ref,          # (B, S, E1) bf16
+        mem2_ref,          # (B, S, E2) bf16
+        w_p1_ref, b_p1_ref, w_p2_ref, b_p2_ref,
+        w_attg_ref, b_attg_ref,
+        w_qp_ref,          # (AU, A1+A2)
+        v1_ref,            # (A1, 1) f32
+        v2_ref,            # (A2, 1) f32
+        w_l1_ref, b_l1_ref, w_l2_ref, b_l2_ref,
+        w_inproj_ref, b_inproj_ref,
+        ln1_s_ref, ln1_b_ref, ln2_s_ref, ln2_b_ref,
+        w_qkv_ref,
+        w_saout_ref, b_saout_ref,
+        w_ffn1_ref, b_ffn1_ref, w_ffn2_ref, b_ffn2_ref,
+        w_out_ref, b_out_ref,
+        pe_rate_ref,       # (1, SA) f32 sinusoid rates (PE computed in-kernel)
+        pe_even_ref,       # (1, SA) f32 1.0 where sin, 0.0 where cos
+        # ---- outputs ----
+        out_hbm,           # (T, B, out_pad) f32 in HBM
+        aligns_hbm,        # (T, B, align_pad) f32 in HBM
+        kcache_hbm,        # (T, B, SA) bf16 in HBM
+        vcache_hbm,        # (T, B, SA) bf16 in HBM
+        lengths_ref,       # (B, 1) i32 VMEM out
+        finished_ref,      # (B, 1) f32 VMEM out (1.0 = stop fired)
+        # ---- scratch ----
+        chunk_buf,         # (CH, B, SA) bf16 VMEM
+        row_f32,           # (1, B, out_width) f32
+        align_row,         # (1, B, 2*S) f32
+        kv_row,            # (2, B, SA) bf16 (k row, v row)
+        out_sem, align_sem, kv_sem, chunk_sem,
+    ):
+        if keep < 1.0:  # prng_seed is TPU-only; dropout off needs no PRNG
+            pltpu.prng_seed(seed_ref[0])
+
+        def dropout(x, width):
+            if keep >= 1.0:
+                return x
+            bits = pltpu.prng_random_bits((B, width))
+            mask = pltpu.bitcast(bits, jnp.uint32) < keep_u32
+            return jnp.where(mask, x * (1.0 / keep), jnp.zeros_like(x))
+
+        def body(t, carry):
+            (
+                feed,
+                c_att, h_att, c1, h1, c2, h2,
+                alpha1, ctx1, ctx2,
+                finished, lengths,
+            ) = carry
+
+            # ---------------- prenet (dropout always on) ----------------
+            x = jnp.dot(feed, w_p1_ref[:], preferred_element_type=jnp.float32)
+            x = jnp.maximum(x + b_p1_ref[:].astype(jnp.float32), 0.0)
+            x = dropout(x, P1)
+            x = jnp.dot(
+                x.astype(io_dtype), w_p2_ref[:], preferred_element_type=jnp.float32
+            )
+            x = jnp.maximum(x + b_p2_ref[:].astype(jnp.float32), 0.0)
+            x = dropout(x, P2)
+
+            # ---------------- attention ZoneoutLSTM ---------------------
+            att_in = jnp.concatenate(
+                [x, ctx1, ctx2, h_att], axis=-1
+            ).astype(io_dtype)
+            c_att, h_att = _lstm_gate(att_in, w_attg_ref, b_attg_ref, c_att, h_att, zc, zo)
+            query = h_att  # (B, AU) f32
+
+            # ---------------- dual-source attention ---------------------
+            qp = jnp.dot(
+                query.astype(io_dtype), w_qp_ref[:], preferred_element_type=jnp.float32
+            )
+            q1, q2 = qp[:, :A1], qp[:, A1:]
+            e1 = _score_matmul(keys1_ref, q1, v1_ref) + score_bias_ref[:]
+            y1 = jax.nn.softmax(e1, axis=-1)
+            shifted = pltpu.roll(alpha1, 1, axis=1)
+            col = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+            shifted = jnp.where(col == 0, 0.0, shifted)
+            alpha_hat = (0.5 * alpha1 + 0.5 * shifted + 1e-6) * y1
+            alpha1 = alpha_hat / jnp.sum(alpha_hat, axis=-1, keepdims=True)
+            ctx1 = _context(alpha1, mem1_ref)
+
+            e2 = _score_matmul(keys2_ref, q2, v2_ref) + score_bias_ref[:]
+            alpha2 = jax.nn.softmax(e2, axis=-1)
+            ctx2 = _context(alpha2, mem2_ref)
+
+            # ---------------- decoder LSTM stack (residual) -------------
+            din = jnp.concatenate([query, ctx1, ctx2, h1], axis=-1).astype(io_dtype)
+            c1, h1 = _lstm_gate(din, w_l1_ref, b_l1_ref, c1, h1, zc, zo)
+            din2 = jnp.concatenate([h1, h2], axis=-1).astype(io_dtype)
+            c2, h2 = _lstm_gate(din2, w_l2_ref, b_l2_ref, c2, h2, zc, zo)
+            feature = h2 + h1  # residual (B, DU) f32
+
+            # ---------------- decoder self-attention --------------------
+            xs = jnp.dot(
+                feature.astype(io_dtype),
+                w_inproj_ref[:],
+                preferred_element_type=jnp.float32,
+            ) + b_inproj_ref[:].astype(jnp.float32)
+            # sinusoidal PE row t, computed on the VPU (dynamic sublane reads
+            # of a (T, SA) table are alignment-restricted in Mosaic)
+            angle = t.astype(jnp.float32) * pe_rate_ref[:]
+            pe_t = jnp.where(pe_even_ref[:] > 0.5, jnp.sin(angle), jnp.cos(angle))
+            xs = xs + pe_t
+            xn = _layer_norm(xs, ln1_s_ref, ln1_b_ref)
+            qkv = jnp.dot(
+                xn.astype(io_dtype), w_qkv_ref[:], preferred_element_type=jnp.float32
+            )
+            q_sa = qkv[:, :SA]
+            kv_row[0] = qkv[:, SA : 2 * SA].astype(io_dtype)
+            kv_row[1] = qkv[:, 2 * SA :].astype(io_dtype)
+            kd = pltpu.make_async_copy(
+                kv_row.at[0:1], kcache_hbm.at[pl.ds(t, 1)], kv_sem.at[0]
+            )
+            vd = pltpu.make_async_copy(
+                kv_row.at[1:2], vcache_hbm.at[pl.ds(t, 1)], kv_sem.at[1]
+            )
+            kd.start()
+            vd.start()
+            kd.wait()
+            vd.wait()
+
+            # N = B·H "lanes"; cache rows reshape to (CH, N, HD) contiguously.
+            # No batched dot_general in Mosaic → broadcast-multiply + reduce
+            # on the VPU. Logits kept (C_total, N): chunk results land as
+            # contiguous row blocks (no transposes), softmax reduces over
+            # sublanes, and the value pass consumes the same layout.
+            N = B * H
+            qh = (q_sa.reshape(N, HD) / np.sqrt(HD)).astype(jnp.float32)
+
+            # pass A: logits over the whole cache, chunked K reads
+            chunk_logits = []
+            for c in range(n_chunks):
+                dma = pltpu.make_async_copy(
+                    kcache_hbm.at[pl.ds(c * CH, CH)], chunk_buf, chunk_sem
+                )
+                dma.start()
+                dma.wait()
+                kc = chunk_buf[:].reshape(CH, N, HD).astype(jnp.float32)
+                chunk_logits.append(jnp.sum(qh[None, :, :] * kc, axis=-1))
+            logits = (
+                jnp.concatenate(chunk_logits, axis=0)
+                if n_chunks > 1
+                else chunk_logits[0]
+            )
+            pos = jax.lax.broadcasted_iota(jnp.int32, (n_chunks * CH, N), 0)
+            logits = jnp.where(pos <= t, logits, NEG_INF)
+            lmax = jnp.max(logits, axis=0, keepdims=True)
+            lexp = jnp.exp(logits - lmax)
+            probs = lexp / jnp.sum(lexp, axis=0, keepdims=True)   # (C, N)
+
+            # pass B: weighted V accumulation, chunked V reads
+            attn = jnp.zeros((N, HD), jnp.float32)
+            for c in range(n_chunks):
+                dma = pltpu.make_async_copy(
+                    vcache_hbm.at[pl.ds(c * CH, CH)], chunk_buf, chunk_sem
+                )
+                dma.start()
+                dma.wait()
+                vc = chunk_buf[:].reshape(CH, N, HD).astype(jnp.float32)
+                cpos = jax.lax.broadcasted_iota(jnp.int32, (CH, N, 1), 0) + c * CH
+                vc = jnp.where(cpos <= t, vc, 0.0)  # mask uninitialized tail
+                pc = probs[c * CH : (c + 1) * CH]   # static slice
+                attn = attn + jnp.sum(pc[:, :, None] * vc, axis=0)
+            attn_out = jnp.dot(
+                attn.reshape(B, H * HD).astype(io_dtype),
+                w_saout_ref[:],
+                preferred_element_type=jnp.float32,
+            ) + b_saout_ref[:].astype(jnp.float32)
+            xs = xs + attn_out
+            xn2 = _layer_norm(xs, ln2_s_ref, ln2_b_ref)
+            f1 = jnp.maximum(
+                jnp.dot(
+                    xn2.astype(io_dtype),
+                    w_ffn1_ref[:],
+                    preferred_element_type=jnp.float32,
+                )
+                + b_ffn1_ref[:].astype(jnp.float32),
+                0.0,
+            )
+            f2 = jnp.dot(
+                f1.astype(io_dtype), w_ffn2_ref[:], preferred_element_type=jnp.float32
+            ) + b_ffn2_ref[:].astype(jnp.float32)
+            sa_out = xs + f2
+
+            # ---------------- output projection --------------------------
+            out = jnp.dot(
+                sa_out.astype(io_dtype), w_out_ref[:], preferred_element_type=jnp.float32
+            ) + b_out_ref[:].astype(jnp.float32)
+            row_f32[0] = jnp.pad(out, ((0, 0), (0, out_pad - out_width)))
+            od = pltpu.make_async_copy(row_f32, out_hbm.at[pl.ds(t, 1)], out_sem)
+            od.start()
+
+            align_row[0] = jnp.pad(
+                jnp.concatenate([alpha1, alpha2], axis=-1),
+                ((0, 0), (0, align_pad - 2 * S)),
+            )
+            ad = pltpu.make_async_copy(align_row, aligns_hbm.at[pl.ds(t, 1)], align_sem)
+            ad.start()
+
+            # ---------------- stop token / lengths -----------------------
+            stop_probs = jax.nn.sigmoid(out[:, R * M :])        # (B, R)
+            fired_mask = stop_probs > stop_threshold
+            fired = jnp.any(fired_mask, axis=-1, keepdims=True)  # (B, 1)
+            # first firing frame in the block (argmax is f32-only in Mosaic)
+            idxf = jax.lax.broadcasted_iota(jnp.int32, (B, R), 1).astype(jnp.float32)
+            first = jnp.min(
+                jnp.where(fired_mask, idxf, float(R)), axis=-1, keepdims=True
+            ).astype(jnp.int32)                                   # (B, 1)
+            newly = jnp.logical_and(fired, finished < 0.5)
+            lengths = jnp.where(newly, t * R + first + 1, lengths)
+            finished = jnp.maximum(finished, fired.astype(jnp.float32))
+
+            feed = out[:, (R - 1) * M : R * M].astype(io_dtype)
+            od.wait()
+            ad.wait()
+
+            return (
+                feed, c_att, h_att, c1, h1, c2, h2,
+                alpha1, ctx1, ctx2, finished, lengths,
+            )
+
+        z = lambda *shape: jnp.zeros(shape, jnp.float32)
+        init_alpha = (
+            jax.lax.broadcasted_iota(jnp.int32, (B, S), 1) == 0
+        ).astype(jnp.float32)
+        carry = (
+            feed0_ref[:],
+            z(B, AU), z(B, AU), z(B, DU), z(B, DU), z(B, DU), z(B, DU),
+            init_alpha, z(B, E1), z(B, E2),
+            z(B, 1), jnp.zeros((B, 1), jnp.int32),
+        )
+        carry = jax.lax.fori_loop(0, T, body, carry)
+        finished, lengths = carry[-2], carry[-1]
+        lengths_ref[:] = jnp.where(finished > 0.5, lengths, T * R)
+        finished_ref[:] = finished
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg_key",)
+)
+def _run_fused(operands: Tuple, cfg_key: Tuple) -> Tuple:
+    cfg = dict(cfg_key)
+    kernel = _make_kernel(cfg)
+    B, S, T = cfg["batch"], cfg["src_len"], cfg["max_iters"]
+    SA = cfg["sa_units"]
+    out_width = cfg["r"] * cfg["num_mels"] + cfg["r"]
+    out_pad = ((out_width + 127) // 128) * 128
+    align_pad = ((2 * S + 127) // 128) * 128
+    io_dtype = jnp.bfloat16 if cfg["io_dtype"] == "bfloat16" else jnp.float32
+    CH = cfg["cache_chunk"]
+
+    n_inputs = len(operands)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_inputs - 1),
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),   # out rows (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # alignment rows (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # k cache (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # v cache (HBM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lengths
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # finished
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((CH, B, SA), io_dtype),
+            pltpu.VMEM((1, B, out_pad), jnp.float32),
+            pltpu.VMEM((1, B, align_pad), jnp.float32),
+            pltpu.VMEM((2, B, SA), io_dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    n_pad = ((T + CH - 1) // CH) * CH
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, out_pad), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, align_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, B, SA), io_dtype),
+            jax.ShapeDtypeStruct((n_pad, B, SA), io_dtype),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=cfg["interpret"],
+    )(*operands)
+
+
+def fused_decode(
+    *,
+    variables: Dict,
+    cond,                 # DecoderConditioning from the network's encode()
+    hp,
+    batch: int,
+    max_iters: int,
+    seed: jnp.ndarray,    # () int32
+    interpret: bool = False,
+):
+    """Run the fused whole-loop decode; returns the DecodeResult fields.
+
+    ``variables`` is the flax variable dict; decoder weights are extracted
+    by path (the layout is pinned by the Decoder module's setup()).
+    """
+    p = variables["params"]["decoder"]
+    S = cond.memories[0].shape[1]
+    io_dtype_name = hp.compute_dtype
+    bf = jnp.bfloat16 if io_dtype_name == "bfloat16" else jnp.float32
+
+    def w(x):
+        return jnp.asarray(x, bf)
+
+    mask = cond.masks[0]
+    score_bias = jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32)
+    # sinusoid parameters matching models.self_attention.positional_encoding
+    sa_dim = hp.decoder_self_attention_out_units
+    i = np.arange(sa_dim, dtype=np.float64)
+    pe_rate = (1.0 / np.power(10000.0, (2.0 * (i // 2)) / sa_dim)).astype(np.float32)
+    pe_even = (i % 2 == 0).astype(np.float32)
+
+    cfg = dict(
+        batch=batch,
+        src_len=S,
+        max_iters=max_iters,
+        r=hp.outputs_per_step,
+        num_mels=hp.num_mels,
+        prenet_units=tuple(hp.decoder_prenet_out_units),
+        att_units=hp.attention_out_units,
+        att1_units=hp.attention1_out_units,
+        att2_units=hp.attention2_out_units,
+        dec_units=hp.decoder_out_units,
+        sa_units=hp.decoder_self_attention_out_units,
+        sa_heads=hp.decoder_self_attention_num_heads,
+        mem1_dim=cond.memories[0].shape[2],
+        mem2_dim=cond.memories[1].shape[2],
+        cache_chunk=128,
+        zoneout_cell=hp.zoneout_factor_cell,
+        zoneout_output=hp.zoneout_factor_output,
+        prenet_drop_rate=hp.decoder_prenet_drop_rate,
+        stop_threshold=hp.stop_token_threshold,
+        io_dtype=io_dtype_name,
+        interpret=interpret,
+    )
+
+    sa = p["self_attention"]
+    blk = sa["block_0"]
+    operands = (
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        jnp.zeros((batch, hp.num_mels), bf),               # go frame
+        score_bias,
+        w(cond.keys[0]), w(cond.keys[1]),
+        w(cond.memories[0]), w(cond.memories[1]),
+        w(p["prenet"]["Dense_0"]["kernel"]), w(p["prenet"]["Dense_0"]["bias"]),
+        w(p["prenet"]["Dense_1"]["kernel"]), w(p["prenet"]["Dense_1"]["bias"]),
+        w(p["attention_lstm"]["gates"]["kernel"]), w(p["attention_lstm"]["gates"]["bias"]),
+        w(p["query_projection"]["kernel"]),
+        # the mechanisms are adopted at network level (flax first-adoption)
+        jnp.asarray(variables["params"]["attention_0"]["attention_v"], jnp.float32),
+        jnp.asarray(variables["params"]["attention_1"]["attention_v"], jnp.float32),
+        w(p["decoder_lstm_0"]["gates"]["kernel"]), w(p["decoder_lstm_0"]["gates"]["bias"]),
+        w(p["decoder_lstm_1"]["gates"]["kernel"]), w(p["decoder_lstm_1"]["gates"]["bias"]),
+        w(sa["in_proj"]["kernel"]), w(sa["in_proj"]["bias"]),
+        jnp.asarray(blk["ln1"]["scale"], jnp.float32),
+        jnp.asarray(blk["ln1"]["bias"], jnp.float32),
+        jnp.asarray(blk["ln2"]["scale"], jnp.float32),
+        jnp.asarray(blk["ln2"]["bias"], jnp.float32),
+        w(blk["mha"]["qkv"]["kernel"]),
+        w(blk["mha"]["out"]["kernel"]), w(blk["mha"]["out"]["bias"]),
+        w(blk["ffn1"]["kernel"]), w(blk["ffn1"]["bias"]),
+        w(blk["ffn2"]["kernel"]), w(blk["ffn2"]["bias"]),
+        w(p["output_projection"]["kernel"]), w(p["output_projection"]["bias"]),
+        jnp.asarray(pe_rate).reshape(1, sa_dim),
+        jnp.asarray(pe_even).reshape(1, sa_dim),
+    )
+    cfg_key = tuple(sorted(cfg.items()))
+    out_rows, align_rows, _, _, lengths, finished = _run_fused(operands, cfg_key)
+
+    r, m = hp.outputs_per_step, hp.num_mels
+    out_rows = out_rows[..., : r * m + r]
+    align_rows = align_rows[..., : 2 * S]
+    out_rows = out_rows.transpose(1, 0, 2)              # (B, T, r·M + r)
+    frames = out_rows[..., : r * m].reshape(batch, max_iters * r, m)
+    stop = jax.nn.sigmoid(out_rows[..., r * m :]).reshape(batch, max_iters * r)
+    align_rows = align_rows.transpose(1, 0, 2)          # (B, T, 2S)
+    aligns = (align_rows[..., :S], align_rows[..., S:])
+    return dict(
+        frames={"mel": frames},
+        stop_probs=stop,
+        lengths=lengths[:, 0],
+        alignments=aligns,
+        finished=finished[:, 0] > 0.5,
+        num_steps=jnp.asarray(max_iters, jnp.int32),
+    )

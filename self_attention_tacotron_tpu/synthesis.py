@@ -23,17 +23,38 @@ from self_attention_tacotron_tpu.models.models import TacotronModelBase, Tacotro
 from self_attention_tacotron_tpu.ops.decode_loop import DecodeResult, decode_incrementally
 
 
-def make_predict_fn(model: TacotronModelBase, max_iters: Optional[int] = None):
+def make_predict_fn(
+    model: TacotronModelBase,
+    max_iters: Optional[int] = None,
+    use_fused: Optional[bool] = None,
+):
     """Build a jitted ``predict(variables, batch, rng) -> dict`` function.
 
     ``batch`` fields: ``source`` (B,S) int32, ``source_lengths`` (B,),
     optional ``accent_type`` (B,S), ``speaker_id`` (B,), optional
     ``target_lengths`` (B,) for forced-alignment mode.
+
+    ``use_fused``: run the whole-loop Pallas decode kernel
+    (ops/fused_decode.py). Default: auto — on for the flagship
+    configuration on real accelerators, off (XLA while-loop) otherwise;
+    forced-on on CPU runs the kernel in interpreter mode (tests).
     """
+    import jax as _jax
+
+    from self_attention_tacotron_tpu.ops.fused_decode import (
+        fused_decode,
+        supports_fused_decode,
+    )
+
     hp = model.hparams
     net: TacotronNetwork = model.network(is_training=False)
     max_steps = int(max_iters or hp.max_iters)
     r = hp.outputs_per_step
+    on_cpu = _jax.default_backend() == "cpu"
+    if use_fused is None:
+        use_fused = hp.use_pallas_kernels and supports_fused_decode(hp) and not on_cpu
+    elif use_fused and not supports_fused_decode(hp):
+        raise ValueError("configuration not supported by the fused decode kernel")
 
     @functools.partial(jax.jit, static_argnames=())
     def predict(variables, batch: Dict[str, jnp.ndarray], rng: jax.Array):
@@ -57,6 +78,21 @@ def make_predict_fn(model: TacotronModelBase, max_iters: Optional[int] = None):
             cond = cond.replace(
                 teacher_ratio=src_len.astype(jnp.float32) / dec_steps.astype(jnp.float32)
             )
+
+        if use_fused:
+            seed = jax.random.randint(dec_rng, (), 0, jnp.iinfo(jnp.int32).max)
+            result = DecodeResult(
+                **fused_decode(
+                    variables=variables,
+                    cond=cond,
+                    hp=hp,
+                    batch=batch_size,
+                    max_iters=max_steps,
+                    seed=seed,
+                    interpret=on_cpu,
+                )
+            )
+            return _assemble_outputs(result, enc_sa, hp, net, variables)
 
         init_state = net.apply(variables, cond, method=TacotronNetwork.decoder_initial_state)
         init_caches = net.apply(
@@ -111,26 +147,30 @@ def make_predict_fn(model: TacotronModelBase, max_iters: Optional[int] = None):
             stop_threshold=hp.stop_token_threshold,
         )
 
-        out = {
-            "lengths": result.lengths,
-            "stop_probs": result.stop_probs,
-            "alignments": result.alignments,
-            "encoder_sa_alignments": enc_sa,
-            "finished": result.finished,
-            "num_steps": result.num_steps,
-        }
-        out.update(result.frames)
-        if "mel" in result.frames and (hp.use_postnet_v2 or hp.use_linear_spectrogram_postnet):
-            postnet_mel, linear = net.apply(
-                variables,
-                result.frames["mel"],
-                result.lengths,
-                method=TacotronNetwork.postnet_apply,
-            )
-            if postnet_mel is not None:
-                out["postnet_mel"] = postnet_mel
-            if linear is not None:
-                out["linear"] = linear
-        return out
+        return _assemble_outputs(result, enc_sa, hp, net, variables)
 
     return predict
+
+
+def _assemble_outputs(result: DecodeResult, enc_sa, hp, net, variables):
+    out = {
+        "lengths": result.lengths,
+        "stop_probs": result.stop_probs,
+        "alignments": result.alignments,
+        "encoder_sa_alignments": enc_sa,
+        "finished": result.finished,
+        "num_steps": result.num_steps,
+    }
+    out.update(result.frames)
+    if "mel" in result.frames and (hp.use_postnet_v2 or hp.use_linear_spectrogram_postnet):
+        postnet_mel, linear = net.apply(
+            variables,
+            result.frames["mel"],
+            result.lengths,
+            method=TacotronNetwork.postnet_apply,
+        )
+        if postnet_mel is not None:
+            out["postnet_mel"] = postnet_mel
+        if linear is not None:
+            out["linear"] = linear
+    return out
