@@ -153,16 +153,14 @@ def _make_kernel(cfg: Dict[str, Any]):
         # ---- outputs ----
         out_hbm,           # (T, B, out_pad) f32 in HBM
         aligns_hbm,        # (T, B, align_pad) f32 in HBM
-        kcache_hbm,        # (T, B, SA) bf16 in HBM
-        vcache_hbm,        # (T, B, SA) bf16 in HBM
         lengths_ref,       # (B, 1) i32 VMEM out
         finished_ref,      # (B, 1) f32 VMEM out (1.0 = stop fired)
         # ---- scratch ----
-        chunk_buf,         # (CH, B, SA) bf16 VMEM
-        row_f32,           # (1, B, out_width) f32
-        align_row,         # (1, B, 2*S) f32
-        kv_row,            # (2, B, SA) bf16 (k row, v row)
-        out_sem, align_sem, kv_sem, chunk_sem,
+        kcache,            # (n_pad, B, SA) VMEM — K cache resident on-chip
+        vcache,            # (n_pad, B, SA) VMEM — V cache resident on-chip
+        row_f32,           # (1, B, out_pad) f32
+        align_row,         # (1, B, align_pad) f32
+        out_sem, align_sem,
     ):
         if keep < 1.0:  # prng_seed is TPU-only; dropout off needs no PRNG
             pltpu.prng_seed(seed_ref[0])
@@ -240,18 +238,8 @@ def _make_kernel(cfg: Dict[str, Any]):
                 xn.astype(io_dtype), w_qkv_ref[:], preferred_element_type=jnp.float32
             )
             q_sa = qkv[:, :SA]
-            kv_row[0] = qkv[:, SA : 2 * SA].astype(io_dtype)
-            kv_row[1] = qkv[:, 2 * SA :].astype(io_dtype)
-            kd = pltpu.make_async_copy(
-                kv_row.at[0:1], kcache_hbm.at[pl.ds(t, 1)], kv_sem.at[0]
-            )
-            vd = pltpu.make_async_copy(
-                kv_row.at[1:2], vcache_hbm.at[pl.ds(t, 1)], kv_sem.at[1]
-            )
-            kd.start()
-            vd.start()
-            kd.wait()
-            vd.wait()
+            kcache[t] = qkv[:, SA : 2 * SA].astype(io_dtype)
+            vcache[t] = qkv[:, 2 * SA :].astype(io_dtype)
 
             # N = B·H "lanes"; cache rows reshape to (CH, N, HD) contiguously.
             # No batched dot_general in Mosaic → broadcast-multiply + reduce
@@ -261,15 +249,12 @@ def _make_kernel(cfg: Dict[str, Any]):
             N = B * H
             qh = (q_sa.reshape(N, HD) / np.sqrt(HD)).astype(jnp.float32)
 
-            # pass A: logits over the whole cache, chunked K reads
+            # pass A: logits over the on-chip cache, chunked static slices
             chunk_logits = []
             for c in range(n_chunks):
-                dma = pltpu.make_async_copy(
-                    kcache_hbm.at[pl.ds(c * CH, CH)], chunk_buf, chunk_sem
+                kc = kcache[c * CH : (c + 1) * CH].reshape(CH, N, HD).astype(
+                    jnp.float32
                 )
-                dma.start()
-                dma.wait()
-                kc = chunk_buf[:].reshape(CH, N, HD).astype(jnp.float32)
                 chunk_logits.append(jnp.sum(qh[None, :, :] * kc, axis=-1))
             logits = (
                 jnp.concatenate(chunk_logits, axis=0)
@@ -282,15 +267,12 @@ def _make_kernel(cfg: Dict[str, Any]):
             lexp = jnp.exp(logits - lmax)
             probs = lexp / jnp.sum(lexp, axis=0, keepdims=True)   # (C, N)
 
-            # pass B: weighted V accumulation, chunked V reads
+            # pass B: weighted V accumulation over the on-chip cache
             attn = jnp.zeros((N, HD), jnp.float32)
             for c in range(n_chunks):
-                dma = pltpu.make_async_copy(
-                    vcache_hbm.at[pl.ds(c * CH, CH)], chunk_buf, chunk_sem
+                vc = vcache[c * CH : (c + 1) * CH].reshape(CH, N, HD).astype(
+                    jnp.float32
                 )
-                dma.start()
-                dma.wait()
-                vc = chunk_buf[:].reshape(CH, N, HD).astype(jnp.float32)
                 cpos = jax.lax.broadcasted_iota(jnp.int32, (CH, N, 1), 0) + c * CH
                 vc = jnp.where(cpos <= t, vc, 0.0)  # mask uninitialized tail
                 pc = probs[c * CH : (c + 1) * CH]   # static slice
@@ -393,31 +375,24 @@ def _run_fused(operands: Tuple, cfg_key: Tuple) -> Tuple:
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),   # out rows (HBM)
             pl.BlockSpec(memory_space=pl.ANY),   # alignment rows (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),   # k cache (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),   # v cache (HBM)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lengths
             pl.BlockSpec(memory_space=pltpu.VMEM),  # finished
         ),
         scratch_shapes=[
-            pltpu.VMEM((CH, B, SA), io_dtype),
+            pltpu.VMEM((((T + CH - 1) // CH) * CH, B, SA), io_dtype),
+            pltpu.VMEM((((T + CH - 1) // CH) * CH, B, SA), io_dtype),
             pltpu.VMEM((1, B, out_pad), jnp.float32),
             pltpu.VMEM((1, B, align_pad), jnp.float32),
-            pltpu.VMEM((2, B, SA), io_dtype),
             pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    n_pad = ((T + CH - 1) // CH) * CH
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((T, B, out_pad), jnp.float32),
             jax.ShapeDtypeStruct((T, B, align_pad), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, B, SA), io_dtype),
-            jax.ShapeDtypeStruct((n_pad, B, SA), io_dtype),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
         ),
@@ -515,7 +490,7 @@ def fused_decode(
         jnp.asarray(pe_even).reshape(1, sa_dim),
     )
     cfg_key = tuple(sorted(cfg.items()))
-    out_rows, align_rows, _, _, lengths, finished = _run_fused(operands, cfg_key)
+    out_rows, align_rows, lengths, finished = _run_fused(operands, cfg_key)
 
     r, m = hp.outputs_per_step, hp.num_mels
     out_rows = out_rows[..., : r * m + r]
