@@ -90,6 +90,7 @@ class EncoderV1(nn.Module):
     prenet_out_units: Tuple[int, ...] = (256, 128)
     drop_rate: float = 0.5
     is_training: bool = True
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -104,6 +105,7 @@ class EncoderV1(nn.Module):
             projection2_out_channels=self.projection2_out_channels,
             num_highway=self.num_highway,
             is_training=self.is_training,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
             name="cbhg",
         )
@@ -133,6 +135,7 @@ class SelfAttentionCBHGEncoder(nn.Module):
     self_attention_drop_rate: float = 0.05
     self_attention_ffn_units: int = 1024
     is_training: bool = True
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -147,6 +150,7 @@ class SelfAttentionCBHGEncoder(nn.Module):
             projection2_out_channels=self.projection2_out_channels,
             num_highway=self.num_highway,
             is_training=self.is_training,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
             name="cbhg",
         )
@@ -157,6 +161,7 @@ class SelfAttentionCBHGEncoder(nn.Module):
             ffn_units=self.self_attention_ffn_units,
             drop_rate=self.self_attention_drop_rate,
             is_training=self.is_training,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
             name="self_attention",
         )
@@ -216,6 +221,7 @@ def encoder_factory(hparams, is_training: bool, dtype: Dtype = jnp.float32) -> n
             prenet_out_units=hparams.encoder_prenet_out_units,
             drop_rate=hparams.encoder_prenet_drop_rate,
             is_training=is_training,
+            use_pallas=hparams.use_pallas_kernels,
             dtype=dtype,
             name="encoder",
         )
@@ -240,6 +246,7 @@ def encoder_factory(hparams, is_training: bool, dtype: Dtype = jnp.float32) -> n
             self_attention_drop_rate=hparams.self_attention_drop_rate,
             self_attention_ffn_units=hparams.self_attention_transformer_ffn_units,
             is_training=is_training,
+            use_pallas=hparams.use_pallas_kernels,
             dtype=dtype,
             name="encoder",
         )

@@ -282,13 +282,34 @@ def run_rnn(
 
 
 class BiRNN(nn.Module):
-    """Bidirectional RNN over padded batches; concatenates both directions."""
+    """Bidirectional RNN over padded batches; concatenates both directions.
+
+    ``use_pallas``: on non-CPU backends at eval, GRU cells run as ONE fused
+    Pallas kernel (ops/fused_rnn.py) — the sequential scan is dispatch-
+    bound under XLA on the serving path (~26 ms vs ~1 ms at (32,128,128)).
+    """
 
     cell_fwd: nn.Module
     cell_bwd: nn.Module
     rng_names: Sequence[str] = ("zoneout",)
+    use_pallas: bool = False
 
     def __call__(self, xs, lengths, initial_carry_fwd, initial_carry_bwd):
+        if (
+            self.use_pallas
+            and not self.is_initializing()
+            and isinstance(self.cell_fwd, GRUCell)
+            and jax.default_backend() != "cpu"
+        ):
+            from self_attention_tacotron_tpu.ops.fused_rnn import bigru_pallas
+
+            return bigru_pallas(
+                xs,
+                lengths,
+                self.cell_fwd.variables["params"],
+                self.cell_bwd.variables["params"],
+                hidden=self.cell_fwd.num_units,
+            )
         _, ys_f = run_rnn(
             self.cell_fwd, xs, lengths, initial_carry_fwd, rng_names=self.rng_names
         )
@@ -317,6 +338,7 @@ class CBHG(nn.Module):
     projection2_out_channels: int = 128
     num_highway: int = 4
     is_training: bool = True
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -370,6 +392,7 @@ class CBHG(nn.Module):
             cell_fwd=GRUCell(half, dtype=self.dtype, name="gru_fwd"),
             cell_bwd=GRUCell(half, dtype=self.dtype, name="gru_bwd"),
             rng_names=(),
+            use_pallas=self.use_pallas and not self.is_training,
         )
         init = jnp.zeros((x.shape[0], half), self.dtype)
         return rnn(highway, lengths, init, init)

@@ -59,6 +59,7 @@ class MultiHeadAttention(nn.Module):
     num_units: int             # total (= heads × head_dim)
     drop_rate: float = 0.0
     is_training: bool = True
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -80,6 +81,17 @@ class MultiHeadAttention(nn.Module):
         causal: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         qkv = self.qkv_proj(x)
+        if (
+            self.use_pallas
+            and not self.is_training
+            and not causal
+            and not self.is_initializing()
+            and jax.default_backend() != "cpu"
+        ):
+            from self_attention_tacotron_tpu.ops.fused_attention import mha_full_pallas
+
+            ctx, probs = mha_full_pallas(qkv, mask, num_heads=self.num_heads)
+            return self.out_proj(ctx), probs
         q, k, v = (self._split(p) for p in jnp.split(qkv, 3, axis=-1))
         d = q.shape[-1]
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
@@ -133,6 +145,7 @@ class SelfAttentionBlock(nn.Module):
     ffn_units: int = 1024
     drop_rate: float = 0.05
     is_training: bool = True
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -143,6 +156,7 @@ class SelfAttentionBlock(nn.Module):
             num_units=self.num_units,
             drop_rate=self.drop_rate,
             is_training=self.is_training,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
             name="mha",
         )
@@ -183,6 +197,7 @@ class SelfAttentionTransformer(nn.Module):
     drop_rate: float = 0.05
     use_positional_encoding: bool = True
     is_training: bool = True
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -194,6 +209,7 @@ class SelfAttentionTransformer(nn.Module):
                 ffn_units=self.ffn_units,
                 drop_rate=self.drop_rate,
                 is_training=self.is_training,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )
