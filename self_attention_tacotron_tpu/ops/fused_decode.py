@@ -158,9 +158,9 @@ def _make_kernel(cfg: Dict[str, Any]):
         # ---- scratch ----
         kcache,            # (n_pad, B, SA) VMEM — K cache resident on-chip
         vcache,            # (n_pad, B, SA) VMEM — V cache resident on-chip
-        row_f32,           # (1, B, out_pad) f32
-        align_row,         # (1, B, align_pad) f32
-        out_sem, align_sem,
+        row_f32,           # (2, B, out_pad) f32 — 2-slot DMA ring
+        align_row,         # (2, B, align_pad) f32 — 2-slot DMA ring
+        out_sem, align_sem,  # DMA((2,)) each
     ):
         if keep < 1.0:  # prng_seed is TPU-only; dropout off needs no PRNG
             pltpu.prng_seed(seed_ref[0])
@@ -302,16 +302,37 @@ def _make_kernel(cfg: Dict[str, Any]):
             out = jnp.dot(
                 sa_out.astype(io_dtype), w_out_ref[:], preferred_element_type=jnp.float32
             ) + b_out_ref[:].astype(jnp.float32)
-            row_f32[0] = jnp.pad(out, ((0, 0), (0, out_pad - out_width)))
-            od = pltpu.make_async_copy(row_f32, out_hbm.at[pl.ds(t, 1)], out_sem)
-            od.start()
+            # 2-slot DMA ring: wait for the DMA issued two steps ago on this
+            # slot, then reuse its buffer — output copies overlap compute.
+            slot = jax.lax.rem(t, 2)
 
-            align_row[0] = jnp.pad(
+            @pl.when(t >= 2)
+            def _wait_prior():
+                pltpu.make_async_copy(
+                    row_f32.at[pl.ds(slot, 1)],
+                    out_hbm.at[pl.ds(t - 2, 1)],
+                    out_sem.at[slot],
+                ).wait()
+                pltpu.make_async_copy(
+                    align_row.at[pl.ds(slot, 1)],
+                    aligns_hbm.at[pl.ds(t - 2, 1)],
+                    align_sem.at[slot],
+                ).wait()
+
+            row_f32[slot] = jnp.pad(out, ((0, 0), (0, out_pad - out_width)))
+            pltpu.make_async_copy(
+                row_f32.at[pl.ds(slot, 1)], out_hbm.at[pl.ds(t, 1)], out_sem.at[slot]
+            ).start()
+
+            align_row[slot] = jnp.pad(
                 jnp.concatenate([alpha1, alpha2], axis=-1),
                 ((0, 0), (0, align_pad - 2 * S)),
             )
-            ad = pltpu.make_async_copy(align_row, aligns_hbm.at[pl.ds(t, 1)], align_sem)
-            ad.start()
+            pltpu.make_async_copy(
+                align_row.at[pl.ds(slot, 1)],
+                aligns_hbm.at[pl.ds(t, 1)],
+                align_sem.at[slot],
+            ).start()
 
             # ---------------- stop token / lengths -----------------------
             stop_probs = jax.nn.sigmoid(out[:, R * M :])        # (B, R)
@@ -327,8 +348,6 @@ def _make_kernel(cfg: Dict[str, Any]):
             finished = jnp.maximum(finished, fired.astype(jnp.float32))
 
             feed = out[:, (R - 1) * M : R * M].astype(io_dtype)
-            od.wait()
-            ad.wait()
 
             return (
                 feed, c_att, h_att, c1, h1, c2, h2,
@@ -346,6 +365,18 @@ def _make_kernel(cfg: Dict[str, Any]):
             z(B, 1), jnp.zeros((B, 1), jnp.int32),
         )
         carry = jax.lax.fori_loop(0, T, body, carry)
+        for t_drain in range(max(T - 2, 0), T):
+            slot_d = t_drain % 2
+            pltpu.make_async_copy(
+                row_f32.at[pl.ds(slot_d, 1)],
+                out_hbm.at[pl.ds(t_drain, 1)],
+                out_sem.at[slot_d],
+            ).wait()
+            pltpu.make_async_copy(
+                align_row.at[pl.ds(slot_d, 1)],
+                aligns_hbm.at[pl.ds(t_drain, 1)],
+                align_sem.at[slot_d],
+            ).wait()
         finished, lengths = carry[-2], carry[-1]
         lengths_ref[:] = jnp.where(finished > 0.5, lengths, T * R)
         finished_ref[:] = finished
@@ -381,10 +412,10 @@ def _run_fused(operands: Tuple, cfg_key: Tuple) -> Tuple:
         scratch_shapes=[
             pltpu.VMEM((((T + CH - 1) // CH) * CH, B, SA), io_dtype),
             pltpu.VMEM((((T + CH - 1) // CH) * CH, B, SA), io_dtype),
-            pltpu.VMEM((1, B, out_pad), jnp.float32),
-            pltpu.VMEM((1, B, align_pad), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, B, out_pad), jnp.float32),
+            pltpu.VMEM((2, B, align_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -419,6 +450,25 @@ def fused_decode(
     ``variables`` is the flax variable dict; decoder weights are extracted
     by path (the layout is pinned by the Decoder module's setup()).
     """
+    # Mosaic reductions misbehave below the f32 sublane tile; pad tiny
+    # batches up to 8 lanes and slice the results back afterwards.
+    real_batch = batch
+    if batch < 8:
+        pad = 8 - batch
+
+        def pad_b(x):
+            return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+
+        cond = cond.replace(
+            memories=tuple(pad_b(m) for m in cond.memories),
+            keys=tuple(pad_b(k) for k in cond.keys),
+            masks=tuple(
+                None if m is None else jnp.pad(m, ((0, pad), (0, 0)))
+                for m in cond.masks
+            ),
+        )
+        batch = 8
+
     p = variables["params"]["decoder"]
     S = cond.memories[0].shape[1]
     io_dtype_name = hp.compute_dtype
@@ -491,6 +541,13 @@ def fused_decode(
     )
     cfg_key = tuple(sorted(cfg.items()))
     out_rows, align_rows, lengths, finished = _run_fused(operands, cfg_key)
+
+    if real_batch != batch:
+        out_rows = out_rows[:, :real_batch]
+        align_rows = align_rows[:, :real_batch]
+        lengths = lengths[:real_batch]
+        finished = finished[:real_batch]
+        batch = real_batch
 
     r, m = hp.outputs_per_step, hp.num_mels
     out_rows = out_rows[..., : r * m + r]
