@@ -105,13 +105,18 @@ def run_bench(
     compile_time = time.perf_counter() - t0
     assert int(out["num_steps"]) == max_iters, "decode must run to the cap"
 
-    times = []
-    for i in range(repeats):
-        t0 = time.perf_counter()
+    # Strict methodology: N back-to-back calls, then a hard host
+    # materialization of the last result — immune to async-completion
+    # artifacts of the serving transport (block_until_ready alone can
+    # under-report on this backend; see memory notes). Reported number is
+    # the per-call average of the pipelined steady state.
+    n_calls = max(repeats, 3)
+    t0 = time.perf_counter()
+    for i in range(n_calls):
         out = predict(variables, batch, jax.random.fold_in(key, i))
-        jax.block_until_ready(out["mel"])
-        times.append(time.perf_counter() - t0)
-    best = min(times)
+    mel_np = np.asarray(out["mel"])
+    assert np.isfinite(mel_np).all()
+    best = (time.perf_counter() - t0) / n_calls
 
     if profile_dir:
         with jax.profiler.trace(profile_dir):
@@ -134,7 +139,7 @@ def main():
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--max-iters", type=int, default=500)
     p.add_argument("--source-length", type=int, default=128)
-    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--skip-rtf", action="store_true")
     p.add_argument(
         "--profile-dir",
