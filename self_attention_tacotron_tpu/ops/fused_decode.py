@@ -122,6 +122,7 @@ def _make_kernel(cfg: Dict[str, Any]):
     keep = 1.0 - cfg["prenet_drop_rate"]
     keep_u32 = np.uint32(min(int(keep * 2**32), 2**32 - 1))
     stop_threshold = cfg["stop_threshold"]
+    ablate = cfg.get("ablate", "none")  # profiling: none|sa|srcattn|prenet
     out_width = R * M + R
     # DMA'd row slices need 128-aligned trailing dims (Mosaic tiling)
     out_pad = ((out_width + 127) // 128) * 128
@@ -155,6 +156,7 @@ def _make_kernel(cfg: Dict[str, Any]):
         aligns_hbm,        # (T, B, align_pad) f32 in HBM
         lengths_ref,       # (B, 1) i32 VMEM out
         finished_ref,      # (B, 1) f32 VMEM out (1.0 = stop fired)
+        steps_ref,         # (1, 1) i32 VMEM out — decoder steps actually run
         # ---- scratch ----
         kcache,            # (n_pad, B, SA) VMEM — K cache resident on-chip
         vcache,            # (n_pad, B, SA) VMEM — V cache resident on-chip
@@ -172,8 +174,9 @@ def _make_kernel(cfg: Dict[str, Any]):
             mask = pltpu.bitcast(bits, jnp.uint32) < keep_u32
             return jnp.where(mask, x * (1.0 / keep), jnp.zeros_like(x))
 
-        def body(t, carry):
+        def body(carry):
             (
+                t,
                 feed,
                 c_att, h_att, c1, h1, c2, h2,
                 alpha1, ctx1, ctx2,
@@ -181,14 +184,17 @@ def _make_kernel(cfg: Dict[str, Any]):
             ) = carry
 
             # ---------------- prenet (dropout always on) ----------------
-            x = jnp.dot(feed, w_p1_ref[:], preferred_element_type=jnp.float32)
-            x = jnp.maximum(x + b_p1_ref[:].astype(jnp.float32), 0.0)
-            x = dropout(x, P1)
-            x = jnp.dot(
-                x.astype(io_dtype), w_p2_ref[:], preferred_element_type=jnp.float32
-            )
-            x = jnp.maximum(x + b_p2_ref[:].astype(jnp.float32), 0.0)
-            x = dropout(x, P2)
+            if ablate == "prenet":
+                x = jnp.zeros((B, P2), jnp.float32) + feed[:, :1] * 0.0
+            else:
+                x = jnp.dot(feed, w_p1_ref[:], preferred_element_type=jnp.float32)
+                x = jnp.maximum(x + b_p1_ref[:].astype(jnp.float32), 0.0)
+                x = dropout(x, P1)
+                x = jnp.dot(
+                    x.astype(io_dtype), w_p2_ref[:], preferred_element_type=jnp.float32
+                )
+                x = jnp.maximum(x + b_p2_ref[:].astype(jnp.float32), 0.0)
+                x = dropout(x, P2)
 
             # ---------------- attention ZoneoutLSTM ---------------------
             att_in = jnp.concatenate(
@@ -202,18 +208,23 @@ def _make_kernel(cfg: Dict[str, Any]):
                 query.astype(io_dtype), w_qp_ref[:], preferred_element_type=jnp.float32
             )
             q1, q2 = qp[:, :A1], qp[:, A1:]
-            e1 = _score_matmul(keys1_ref, q1, v1_ref) + score_bias_ref[:]
-            y1 = jax.nn.softmax(e1, axis=-1)
-            shifted = pltpu.roll(alpha1, 1, axis=1)
-            col = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
-            shifted = jnp.where(col == 0, 0.0, shifted)
-            alpha_hat = (0.5 * alpha1 + 0.5 * shifted + 1e-6) * y1
-            alpha1 = alpha_hat / jnp.sum(alpha_hat, axis=-1, keepdims=True)
-            ctx1 = _context(alpha1, mem1_ref)
+            if ablate == "srcattn":
+                alpha2 = alpha1
+                ctx1 = ctx1 + qp[:, :1] * 0.0
+                ctx2 = ctx2
+            else:
+                e1 = _score_matmul(keys1_ref, q1, v1_ref) + score_bias_ref[:]
+                y1 = jax.nn.softmax(e1, axis=-1)
+                shifted = pltpu.roll(alpha1, 1, axis=1)
+                col = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+                shifted = jnp.where(col == 0, 0.0, shifted)
+                alpha_hat = (0.5 * alpha1 + 0.5 * shifted + 1e-6) * y1
+                alpha1 = alpha_hat / jnp.sum(alpha_hat, axis=-1, keepdims=True)
+                ctx1 = _context(alpha1, mem1_ref)
 
-            e2 = _score_matmul(keys2_ref, q2, v2_ref) + score_bias_ref[:]
-            alpha2 = jax.nn.softmax(e2, axis=-1)
-            ctx2 = _context(alpha2, mem2_ref)
+                e2 = _score_matmul(keys2_ref, q2, v2_ref) + score_bias_ref[:]
+                alpha2 = jax.nn.softmax(e2, axis=-1)
+                ctx2 = _context(alpha2, mem2_ref)
 
             # ---------------- decoder LSTM stack (residual) -------------
             din = jnp.concatenate([query, ctx1, ctx2, h1], axis=-1).astype(io_dtype)
@@ -249,27 +260,35 @@ def _make_kernel(cfg: Dict[str, Any]):
             N = B * H
             qh = (q_sa.reshape(N, HD) / np.sqrt(HD)).astype(jnp.float32)
 
+            if ablate == "sa":
+                attn = qh
+            else:
+                attn = None
             # pass A: logits over the on-chip cache, chunked static slices
             chunk_logits = []
-            for c in range(n_chunks):
+            for c in range(n_chunks if ablate != "sa" else 0):
                 kc = kcache[c * CH : (c + 1) * CH].reshape(CH, N, HD).astype(
                     jnp.float32
                 )
                 chunk_logits.append(jnp.sum(qh[None, :, :] * kc, axis=-1))
-            logits = (
-                jnp.concatenate(chunk_logits, axis=0)
-                if n_chunks > 1
-                else chunk_logits[0]
-            )
-            pos = jax.lax.broadcasted_iota(jnp.int32, (n_chunks * CH, N), 0)
-            logits = jnp.where(pos <= t, logits, NEG_INF)
-            lmax = jnp.max(logits, axis=0, keepdims=True)
-            lexp = jnp.exp(logits - lmax)
-            probs = lexp / jnp.sum(lexp, axis=0, keepdims=True)   # (C, N)
+            if ablate != "sa":
+                logits = (
+                    jnp.concatenate(chunk_logits, axis=0)
+                    if n_chunks > 1
+                    else chunk_logits[0]
+                )
+                pos = jax.lax.broadcasted_iota(jnp.int32, (n_chunks * CH, N), 0)
+                logits = jnp.where(pos <= t, logits, NEG_INF)
+                lmax = jnp.max(logits, axis=0, keepdims=True)
+                lexp = jnp.exp(logits - lmax)
+                probs = lexp / jnp.sum(lexp, axis=0, keepdims=True)   # (C, N)
+            else:
+                probs = None
 
             # pass B: weighted V accumulation over the on-chip cache
-            attn = jnp.zeros((N, HD), jnp.float32)
-            for c in range(n_chunks):
+            if ablate != "sa":
+                attn = jnp.zeros((N, HD), jnp.float32)
+            for c in range(n_chunks if ablate != "sa" else 0):
                 vc = vcache[c * CH : (c + 1) * CH].reshape(CH, N, HD).astype(
                     jnp.float32
                 )
@@ -350,7 +369,7 @@ def _make_kernel(cfg: Dict[str, Any]):
             feed = out[:, (R - 1) * M : R * M].astype(io_dtype)
 
             return (
-                feed, c_att, h_att, c1, h1, c2, h2,
+                t + 1, feed, c_att, h_att, c1, h1, c2, h2,
                 alpha1, ctx1, ctx2, finished, lengths,
             )
 
@@ -359,27 +378,48 @@ def _make_kernel(cfg: Dict[str, Any]):
             jax.lax.broadcasted_iota(jnp.int32, (B, S), 1) == 0
         ).astype(jnp.float32)
         carry = (
+            jnp.zeros((), jnp.int32),
             feed0_ref[:],
             z(B, AU), z(B, AU), z(B, DU), z(B, DU), z(B, DU), z(B, DU),
             init_alpha, z(B, E1), z(B, E2),
             z(B, 1), jnp.zeros((B, 1), jnp.int32),
         )
-        carry = jax.lax.fori_loop(0, T, body, carry)
-        for t_drain in range(max(T - 2, 0), T):
-            slot_d = t_drain % 2
+
+        def loop_cond(carry):
+            # stop early once every lane's stop token has fired
+            return jnp.logical_and(carry[0] < T, jnp.min(carry[-2]) < 0.5)
+
+        carry = jax.lax.while_loop(loop_cond, body, carry)
+        t_final = carry[0]
+
+        # Drain pending ring DMAs. A DMA wait only consumes one completion
+        # of the right size on its semaphore, so static-slot descriptors
+        # drain whatever rows are still in flight (one per slot).
+        def _drain(slot):
             pltpu.make_async_copy(
-                row_f32.at[pl.ds(slot_d, 1)],
-                out_hbm.at[pl.ds(t_drain, 1)],
-                out_sem.at[slot_d],
+                row_f32.at[slot : slot + 1],
+                out_hbm.at[pl.ds(0, 1)],
+                out_sem.at[slot],
             ).wait()
             pltpu.make_async_copy(
-                align_row.at[pl.ds(slot_d, 1)],
-                aligns_hbm.at[pl.ds(t_drain, 1)],
-                align_sem.at[slot_d],
+                align_row.at[slot : slot + 1],
+                aligns_hbm.at[pl.ds(0, 1)],
+                align_sem.at[slot],
             ).wait()
+
+        @pl.when(t_final >= 2)
+        def _():
+            _drain(0)
+            _drain(1)
+
+        @pl.when(t_final == 1)
+        def _():
+            _drain(0)
+
         finished, lengths = carry[-2], carry[-1]
-        lengths_ref[:] = jnp.where(finished > 0.5, lengths, T * R)
+        lengths_ref[:] = jnp.where(finished > 0.5, lengths, t_final * R)
         finished_ref[:] = finished
+        steps_ref[0] = t_final[None]
 
     return kernel
 
@@ -408,6 +448,7 @@ def _run_fused(operands: Tuple, cfg_key: Tuple) -> Tuple:
             pl.BlockSpec(memory_space=pl.ANY),   # alignment rows (HBM)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lengths
             pl.BlockSpec(memory_space=pltpu.VMEM),  # finished
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # steps
         ),
         scratch_shapes=[
             pltpu.VMEM((((T + CH - 1) // CH) * CH, B, SA), io_dtype),
@@ -426,6 +467,7 @@ def _run_fused(operands: Tuple, cfg_key: Tuple) -> Tuple:
             jax.ShapeDtypeStruct((T, B, align_pad), jnp.float32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
@@ -444,6 +486,7 @@ def fused_decode(
     max_iters: int,
     seed: jnp.ndarray,    # () int32
     interpret: bool = False,
+    ablate: str = "none",
 ):
     """Run the fused whole-loop decode; returns the DecodeResult fields.
 
@@ -507,6 +550,7 @@ def fused_decode(
         stop_threshold=hp.stop_token_threshold,
         io_dtype=io_dtype_name,
         interpret=interpret,
+        ablate=ablate,
     )
 
     sa = p["self_attention"]
@@ -540,7 +584,13 @@ def fused_decode(
         jnp.asarray(pe_even).reshape(1, sa_dim),
     )
     cfg_key = tuple(sorted(cfg.items()))
-    out_rows, align_rows, lengths, finished = _run_fused(operands, cfg_key)
+    out_rows, align_rows, lengths, finished, steps = _run_fused(operands, cfg_key)
+    num_steps = steps[0, 0]
+    # rows beyond the early-exit step are uninitialized HBM — zero them
+    # (the XLA decode path leaves the same region zero-filled)
+    row_valid = (jnp.arange(max_iters) < num_steps)[None, :, None]
+    out_rows = jnp.where(row_valid.transpose(1, 0, 2), out_rows, 0.0)
+    align_rows = jnp.where(row_valid.transpose(1, 0, 2), align_rows, 0.0)
 
     if real_batch != batch:
         out_rows = out_rows[:, :real_batch]
@@ -563,5 +613,5 @@ def fused_decode(
         lengths=lengths[:, 0],
         alignments=aligns,
         finished=finished[:, 0] > 0.5,
-        num_steps=jnp.asarray(max_iters, jnp.int32),
+        num_steps=num_steps,
     )
