@@ -44,6 +44,7 @@ class ZoneoutEncoderV1(nn.Module):
     zoneout_factor_cell: float = 0.1
     zoneout_factor_output: float = 0.1
     is_training: bool = True
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -69,6 +70,7 @@ class ZoneoutEncoderV1(nn.Module):
                 dtype=self.dtype,
                 name="lstm_bwd",
             ),
+            use_pallas=self.use_pallas and not self.is_training,
         )
 
     def __call__(self, embedded: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
@@ -207,6 +209,7 @@ def encoder_factory(hparams, is_training: bool, dtype: Dtype = jnp.float32) -> n
             zoneout_factor_cell=hparams.zoneout_factor_cell,
             zoneout_factor_output=hparams.zoneout_factor_output,
             is_training=is_training,
+            use_pallas=hparams.use_pallas_kernels,
             dtype=dtype,
             name="encoder",
         )

@@ -298,18 +298,30 @@ class BiRNN(nn.Module):
         if (
             self.use_pallas
             and not self.is_initializing()
-            and isinstance(self.cell_fwd, GRUCell)
             and jax.default_backend() != "cpu"
         ):
-            from self_attention_tacotron_tpu.ops.fused_rnn import bigru_pallas
+            if isinstance(self.cell_fwd, GRUCell):
+                from self_attention_tacotron_tpu.ops.fused_rnn import bigru_pallas
 
-            return bigru_pallas(
-                xs,
-                lengths,
-                self.cell_fwd.variables["params"],
-                self.cell_bwd.variables["params"],
-                hidden=self.cell_fwd.num_units,
-            )
+                return bigru_pallas(
+                    xs,
+                    lengths,
+                    self.cell_fwd.variables["params"],
+                    self.cell_bwd.variables["params"],
+                    hidden=self.cell_fwd.num_units,
+                )
+            if isinstance(self.cell_fwd, ZoneoutLSTMCell) and not self.cell_fwd.is_training:
+                from self_attention_tacotron_tpu.ops.fused_rnn import bilstm_pallas
+
+                return bilstm_pallas(
+                    xs,
+                    lengths,
+                    self.cell_fwd.variables["params"],
+                    self.cell_bwd.variables["params"],
+                    hidden=self.cell_fwd.num_units,
+                    zoneout_cell=self.cell_fwd.zoneout_factor_cell,
+                    zoneout_output=self.cell_fwd.zoneout_factor_output,
+                )
         _, ys_f = run_rnn(
             self.cell_fwd, xs, lengths, initial_carry_fwd, rng_names=self.rng_names
         )

@@ -58,3 +58,35 @@ def test_mha_full_pallas_no_mask():
     ctx, probs = mha_full_pallas(qkv, None, num_heads=heads, interpret=True)
     assert ctx.shape == (B, T, D)
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_bilstm_pallas_matches_birnn():
+    from self_attention_tacotron_tpu.ops.fused_rnn import bilstm_pallas
+
+    B, S, C, H = 4, 10, 6, 8
+    xs = jax.random.normal(jax.random.PRNGKey(3), (B, S, C))
+    lengths = jnp.array([10, 4, 1, 10])
+    rnn = modules.BiRNN(
+        cell_fwd=modules.ZoneoutLSTMCell(
+            H, zoneout_factor_cell=0.1, zoneout_factor_output=0.1,
+            is_training=False, name="lstm_fwd",
+        ),
+        cell_bwd=modules.ZoneoutLSTMCell(
+            H, zoneout_factor_cell=0.1, zoneout_factor_output=0.1,
+            is_training=False, name="lstm_bwd",
+        ),
+    )
+    init = modules.ZoneoutLSTMCell.initial_state(B, H)
+    variables = rnn.init(jax.random.PRNGKey(1), xs, lengths, init, init)
+    ref = rnn.apply(variables, xs, lengths, init, init)
+    got = bilstm_pallas(
+        xs,
+        lengths,
+        variables["params"]["cell_fwd"],
+        variables["params"]["cell_bwd"],
+        hidden=H,
+        zoneout_cell=0.1,
+        zoneout_output=0.1,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
