@@ -123,17 +123,39 @@ class Trainer:
         )
 
     def restore_or_init(
-        self, rng: jax.Array, sample_batch: Dict[str, np.ndarray]
+        self,
+        rng: jax.Array,
+        sample_batch: Dict[str, np.ndarray],
+        warm_start_from: Optional[str] = None,
     ) -> TrainState:
-        """Auto-resume from the latest checkpoint (Estimator parity)."""
+        """Auto-resume from the latest checkpoint (Estimator parity).
+
+        ``warm_start_from``: when no checkpoint exists in this run's
+        directory, initialize params/batch_stats from the latest
+        checkpoint of another run (fine-tuning; optimizer state and step
+        start fresh — reference warm-start semantics, SURVEY.md §5 [L]).
+        """
         state = self.init_state(rng, sample_batch)
         latest = self.ckpt_manager.latest_step()
-        if latest is None:
-            return state
-        restored = self.ckpt_manager.restore(
-            latest, args=ocp.args.StandardRestore(state)
-        )
-        return restored
+        if latest is not None:
+            return self.ckpt_manager.restore(
+                latest, args=ocp.args.StandardRestore(state)
+            )
+        if warm_start_from:
+            src = ocp.CheckpointManager(os.path.abspath(warm_start_from))
+            src_step = src.latest_step()
+            if src_step is None:
+                raise FileNotFoundError(
+                    f"warm-start dir {warm_start_from!r} has no checkpoints"
+                )
+            donor = src.restore(src_step, args=ocp.args.StandardRestore(state))
+            state = TrainState(
+                step=state.step,
+                params=donor.params,
+                opt_state=state.opt_state,
+                batch_stats=donor.batch_stats,
+            )
+        return state
 
     def save(self, state: TrainState) -> None:
         self.ckpt_manager.save(int(state.step), args=ocp.args.StandardSave(state))
@@ -214,12 +236,13 @@ class Trainer:
         rng: Optional[jax.Array] = None,
         eval_batches_fn=None,
         state: Optional[TrainState] = None,
+        warm_start_from: Optional[str] = None,
     ) -> TrainState:
         hp = self.hparams
         rng = rng if rng is not None else jax.random.PRNGKey(hp.random_seed)
         first = next(iter(train_batches))
         if state is None:
-            state = self.restore_or_init(rng, first)
+            state = self.restore_or_init(rng, first, warm_start_from=warm_start_from)
         start = int(state.step)
 
         batch_iter = _chain_first(first, train_batches)

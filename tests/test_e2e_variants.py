@@ -1,0 +1,87 @@
+"""End-to-end coverage for the WORLD-feature family and forced alignment."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from self_attention_tacotron_tpu.data.dataset import TacotronDataset
+from self_attention_tacotron_tpu.data.synthetic import generate_corpus
+from self_attention_tacotron_tpu.models.models import tacotron_model_factory
+from self_attention_tacotron_tpu.synthesis import make_predict_fn
+from self_attention_tacotron_tpu.training.trainer import Trainer
+from tests.test_models import tiny_hparams
+
+
+@pytest.mark.slow
+def test_mgclf0_train_smoke(tmp_path):
+    """WORLD-feature model: corpus → 4 train steps → finite decreasing loss."""
+    hp = tiny_hparams(
+        tacotron_model="MgcLf0TacotronModel",
+        encoder="ZoneoutEncoderV1",
+        decoder="MgcLf0ExtendedDecoder",
+        sample_rate=8000,
+        num_freq=129,
+        frame_length_ms=32,
+        frame_shift_ms=16,
+        batch_size=4,
+        batch_bucket_width=16,
+        save_checkpoints_steps=100,
+        num_mgcs=6,
+        num_lf0s=8,
+    )
+    root = tmp_path / "corpus"
+    generate_corpus(str(root), hp, num_utterances=6, min_symbols=4, max_symbols=8)
+    data = TacotronDataset(str(root), str(root), hp)
+    model = tacotron_model_factory(hp)
+    trainer = Trainer(model, str(tmp_path / "ckpt"))
+    state = trainer.train(
+        data.batches(4, shuffle=True, repeat=True, prefetch=0), num_steps=4
+    )
+    assert int(state.step) == 4
+    import json, os
+
+    lines = open(os.path.join(trainer.log_dir, "metrics.jsonl")).read().splitlines()
+    last = json.loads(lines[-1])
+    assert np.isfinite(last["loss"])
+    assert "mgc_loss" in last and "lf0_loss" in last
+
+
+def test_forced_alignment_predict():
+    """use_forced_alignment_mode: diagonal teacher-forcing attention."""
+    hp = tiny_hparams(
+        tacotron_model="DualSourceSelfAttentionTacotronModel",
+        encoder="SelfAttentionCBHGEncoder",
+        decoder="DualSourceDecoder",
+        attention="teacher_forcing_forward",
+        attention2="additive",
+        use_forced_alignment_mode=True,
+        max_iters=10,
+        stop_token_threshold=2.0,
+    )
+    model = tacotron_model_factory(hp)
+    net = model.network(is_training=False)
+    B, S, T = 2, 20, 16
+    source = jnp.ones((B, S), jnp.int32)
+    src_len = jnp.array([20, 12])
+    rngs = {k: jax.random.PRNGKey(i) for i, k in enumerate(["params", "dropout", "zoneout"])}
+    variables = net.init(
+        rngs, source, src_len, jnp.zeros((B, 4, hp.num_mels)),
+        jnp.full((B,), 4, jnp.int32),
+    )
+    predict = make_predict_fn(model)
+    out = predict(
+        variables,
+        {
+            "source": source,
+            "source_lengths": src_len,
+            "target_lengths": jnp.array([T, T], jnp.int32),
+        },
+        jax.random.PRNGKey(0),
+    )
+    # primary alignment follows the forced diagonal: peak advances
+    a = np.asarray(out["alignments"][0][0])  # (max_iters, S)
+    peaks = a.argmax(axis=1)
+    assert peaks[0] == 0
+    assert (np.diff(peaks[: T // hp.outputs_per_step]) >= 0).all()
+    assert peaks[T // hp.outputs_per_step - 1] > peaks[0]

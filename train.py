@@ -32,6 +32,11 @@ def parse_args():
     p.add_argument("--hparam-json-file", default=None)
     p.add_argument("--steps", type=int, default=100000)
     p.add_argument("--log-dir", default=None)
+    p.add_argument(
+        "--restore-from",
+        default=None,
+        help="warm-start params from another run's checkpoint dir (fine-tuning)",
+    )
     return p.parse_args()
 
 
@@ -105,6 +110,7 @@ def main():
             if eval_data
             else None
         ),
+        warm_start_from=args.restore_from,
     )
     logging.info("training complete")
 
