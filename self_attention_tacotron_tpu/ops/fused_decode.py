@@ -123,6 +123,7 @@ def _make_kernel(cfg: Dict[str, Any]):
     keep_u32 = np.uint32(min(int(keep * 2**32), 2**32 - 1))
     stop_threshold = cfg["stop_threshold"]
     ablate = cfg.get("ablate", "none")  # profiling: none|sa|srcattn|prenet
+    mxu_attend = cfg.get("mxu_attend", False)
     out_width = R * M + R
     # DMA'd row slices need 128-aligned trailing dims (Mosaic tiling)
     out_pad = ((out_width + 127) // 128) * 128
@@ -253,10 +254,13 @@ def _make_kernel(cfg: Dict[str, Any]):
             vcache[t] = qkv[:, 2 * SA :].astype(io_dtype)
 
             # N = B·H "lanes"; cache rows reshape to (CH, N, HD) contiguously.
-            # No batched dot_general in Mosaic → broadcast-multiply + reduce
-            # on the VPU. Logits kept (C_total, N): chunk results land as
-            # contiguous row blocks (no transposes), softmax reduces over
-            # sublanes, and the value pass consumes the same layout.
+            # No batched dot_general in Mosaic. Logits kept (C_total, N):
+            # chunk results land as contiguous row blocks (no transposes),
+            # softmax reduces over sublanes, and the value pass consumes the
+            # same layout. The K pass contracts over HD — the LANE axis,
+            # which is slow as a VPU reduction — so by default it runs as a
+            # block-diagonal MXU matmul instead: Qblock (N·HD, N) has q[n]
+            # on block-diagonal rows, and (CH, N·HD) @ Qblock = logits.
             N = B * H
             qh = (q_sa.reshape(N, HD) / np.sqrt(HD)).astype(jnp.float32)
 
@@ -264,13 +268,26 @@ def _make_kernel(cfg: Dict[str, Any]):
                 attn = qh
             else:
                 attn = None
+            if mxu_attend and ablate != "sa":
+                rows = jax.lax.broadcasted_iota(jnp.int32, (N * HD, N), 0)
+                cols = jax.lax.broadcasted_iota(jnp.int32, (N * HD, N), 1)
+                # row r of the tiled matrix is qᵀ[r mod HD]; masking the
+                # block diagonal leaves q[n] in rows n·HD..(n+1)·HD of col n
+                tiled = jnp.broadcast_to(qh.T[None], (N, HD, N)).reshape(N * HD, N)
+                qblock = jnp.where(rows // HD == cols, tiled, 0.0).astype(io_dtype)
             # pass A: logits over the on-chip cache, chunked static slices
             chunk_logits = []
             for c in range(n_chunks if ablate != "sa" else 0):
-                kc = kcache[c * CH : (c + 1) * CH].reshape(CH, N, HD).astype(
-                    jnp.float32
-                )
-                chunk_logits.append(jnp.sum(qh[None, :, :] * kc, axis=-1))
+                if mxu_attend:
+                    kc2d = kcache[c * CH : (c + 1) * CH].reshape(CH, N * HD)
+                    chunk_logits.append(
+                        jnp.dot(kc2d, qblock, preferred_element_type=jnp.float32)
+                    )
+                else:
+                    kc = kcache[c * CH : (c + 1) * CH].reshape(CH, N, HD).astype(
+                        jnp.float32
+                    )
+                    chunk_logits.append(jnp.sum(qh[None, :, :] * kc, axis=-1))
             if ablate != "sa":
                 logits = (
                     jnp.concatenate(chunk_logits, axis=0)
@@ -487,6 +504,7 @@ def fused_decode(
     seed: jnp.ndarray,    # () int32
     interpret: bool = False,
     ablate: str = "none",
+    mxu_attend: bool = False,
 ):
     """Run the fused whole-loop decode; returns the DecodeResult fields.
 
@@ -551,6 +569,7 @@ def fused_decode(
         io_dtype=io_dtype_name,
         interpret=interpret,
         ablate=ablate,
+        mxu_attend=mxu_attend,
     )
 
     sa = p["self_attention"]
