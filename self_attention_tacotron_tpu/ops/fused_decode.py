@@ -22,13 +22,16 @@ In-kernel structure per decoder step t:
   → forward-attention α recursion + additive attention (scores as
     (B·S, U)×(U, 1) MXU matmuls; contexts as batched matvecs)
   → 2 residual ZoneoutLSTMs
-  → self-attention with K/V caches in HBM (contiguous (T, B, D) layout;
-    per-step cache append + two chunked DMA sweeps: logits pass then
-    value pass, reusing one 2 MB VMEM chunk buffer)
+  → causal self-attention with K/V caches resident in VMEM scratch
+    ((T, B, D) layout; direct per-step append, two chunked static-slice
+    passes: logits then weighted values)
   → fused output projection (frames ‖ stop logits)
-  → per-lane stop tracking; frame/stop/alignment rows DMA'd to HBM.
+  → per-lane stop tracking; frame/stop/alignment rows DMA'd to HBM via a
+    2-slot ring that overlaps the copies with the next step's compute.
 
-All matmuls accumulate in float32; softmaxes and α recursions in float32.
+The loop is a while_loop that exits as soon as every lane's stop token
+has fired (early exit, with slot-safe draining of in-flight DMAs). All
+matmuls accumulate in float32; softmaxes and α recursions in float32.
 """
 
 from __future__ import annotations
