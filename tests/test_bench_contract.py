@@ -1,0 +1,37 @@
+"""Driver contract: bench.py must print one well-formed JSON line."""
+
+import json
+import subprocess
+import sys
+
+
+def test_bench_json_contract():
+    """Run bench.py on CPU at a tiny size; validate the stdout JSON line."""
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "bench.py",
+            "--measure-cpu-baseline",
+            "--max-iters",
+            "4",
+            "--source-length",
+            "16",
+            "--batch-size",
+            "2",
+            "--repeats",
+            "1",
+            "--skip-rtf",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=".",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1, f"stdout must be exactly one JSON line: {lines}"
+    record = json.loads(lines[0])
+    assert set(record) == {"metric", "value", "unit", "vs_baseline"}
+    assert record["metric"] == "mel_frames_per_sec_per_chip"
+    assert record["value"] > 0
+    assert record["unit"] == "frames/sec"
