@@ -10,8 +10,8 @@ all steps and pays kernel-launch cost once per utterance batch instead of
 ~15 ops × 500 steps.
 
 Covers the flagship configuration (checked by ``supports_fused_decode``):
-DualSourceSelfAttentionDecoder with forward (no transition agent) +
-additive attention, single-hop decoder self-attention, mel head,
+DualSourceSelfAttentionDecoder with forward attention (± transition
+agent) + additive attention, single-hop decoder self-attention, mel head,
 eval-mode zoneout. Everything else falls back to the generic XLA loop in
 ops/decode_loop.py.
 
@@ -49,16 +49,21 @@ NEG_INF = -1e9
 
 
 def supports_fused_decode(hp) -> bool:
-    """The flagship configuration the kernel specializes."""
+    """The flagship configuration the kernel specializes.
+
+    Anything else (speaker embeddings in the decoder feed, MgcLf0 heads,
+    location-sensitive/teacher-forcing attention, multi-hop decoder SA,
+    forced alignment) falls back to the generic XLA loop.
+    """
     return (
         hp.decoder == "DualSourceSelfAttentionDecoder"
-        and hp.attention == "forward"
-        and not hp.use_forward_attention_transition_agent
+        and hp.attention in ("forward", "forward_transition_agent")
         and hp.attention2 == "additive"
         and hp.decoder_self_attention_num_hop == 1
         and hp.n_feed_frame == 1
         and len(hp.decoder_prenet_out_units) == 2
         and not hp.use_forced_alignment_mode
+        and not hp.use_speaker_embedding
     )
 
 
@@ -127,6 +132,7 @@ def _make_kernel(cfg: Dict[str, Any]):
     stop_threshold = cfg["stop_threshold"]
     ablate = cfg.get("ablate", "none")  # profiling: none|sa|srcattn|prenet
     mxu_attend = cfg.get("mxu_attend", False)
+    use_ta = cfg.get("use_transition_agent", False)
     out_width = R * M + R
     # DMA'd row slices need 128-aligned trailing dims (Mosaic tiling)
     out_pad = ((out_width + 127) // 128) * 128
@@ -146,6 +152,7 @@ def _make_kernel(cfg: Dict[str, Any]):
         w_qp_ref,          # (AU, A1+A2)
         v1_ref,            # (A1, 1) f32
         v2_ref,            # (A2, 1) f32
+        w_ta_ref, b_ta_ref,  # (E1+AU, 1), (1,) — forward-attention TA (zeros if unused)
         w_l1_ref, b_l1_ref, w_l2_ref, b_l2_ref,
         w_inproj_ref, b_inproj_ref,
         ln1_s_ref, ln1_b_ref, ln2_s_ref, ln2_b_ref,
@@ -183,7 +190,7 @@ def _make_kernel(cfg: Dict[str, Any]):
                 t,
                 feed,
                 c_att, h_att, c1, h1, c2, h2,
-                alpha1, ctx1, ctx2,
+                alpha1, u_ta, ctx1, ctx2,
                 finished, lengths,
             ) = carry
 
@@ -222,9 +229,15 @@ def _make_kernel(cfg: Dict[str, Any]):
                 shifted = pltpu.roll(alpha1, 1, axis=1)
                 col = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
                 shifted = jnp.where(col == 0, 0.0, shifted)
-                alpha_hat = (0.5 * alpha1 + 0.5 * shifted + 1e-6) * y1
+                alpha_hat = ((1.0 - u_ta) * alpha1 + u_ta * shifted + 1e-6) * y1
                 alpha1 = alpha_hat / jnp.sum(alpha_hat, axis=-1, keepdims=True)
                 ctx1 = _context(alpha1, mem1_ref)
+                if use_ta:
+                    ta_in = jnp.concatenate([ctx1, query], axis=-1).astype(io_dtype)
+                    u_ta = jax.nn.sigmoid(
+                        jnp.dot(ta_in, w_ta_ref[:], preferred_element_type=jnp.float32)
+                        + b_ta_ref[:].astype(jnp.float32)
+                    )
 
                 e2 = _score_matmul(keys2_ref, q2, v2_ref) + score_bias_ref[:]
                 alpha2 = jax.nn.softmax(e2, axis=-1)
@@ -390,7 +403,7 @@ def _make_kernel(cfg: Dict[str, Any]):
 
             return (
                 t + 1, feed, c_att, h_att, c1, h1, c2, h2,
-                alpha1, ctx1, ctx2, finished, lengths,
+                alpha1, u_ta, ctx1, ctx2, finished, lengths,
             )
 
         z = lambda *shape: jnp.zeros(shape, jnp.float32)
@@ -401,7 +414,7 @@ def _make_kernel(cfg: Dict[str, Any]):
             jnp.zeros((), jnp.int32),
             feed0_ref[:],
             z(B, AU), z(B, AU), z(B, DU), z(B, DU), z(B, DU), z(B, DU),
-            init_alpha, z(B, E1), z(B, E2),
+            init_alpha, jnp.full((B, 1), 0.5, jnp.float32), z(B, E1), z(B, E2),
             z(B, 1), jnp.zeros((B, 1), jnp.int32),
         )
 
@@ -497,6 +510,22 @@ def _run_fused(operands: Tuple, cfg_key: Tuple) -> Tuple:
     )(*operands)
 
 
+def _ta_operands(variables, cond, hp, w):
+    """Transition-agent weights, or zeros when the agent is disabled."""
+    use_ta = (
+        hp.attention == "forward_transition_agent"
+        or hp.use_forward_attention_transition_agent
+    )
+    e1 = cond.memories[0].shape[2]
+    if use_ta:
+        ta = variables["params"]["attention_0"]["transition_factor"]
+        return (w(ta["kernel"]), w(ta["bias"]))
+    return (
+        jnp.zeros((e1 + hp.attention_out_units, 1), jnp.float32),
+        jnp.zeros((1,), jnp.float32),
+    )
+
+
 def fused_decode(
     *,
     variables: Dict,
@@ -569,6 +598,10 @@ def fused_decode(
         zoneout_output=hp.zoneout_factor_output,
         prenet_drop_rate=hp.decoder_prenet_drop_rate,
         stop_threshold=hp.stop_token_threshold,
+        use_transition_agent=(
+            hp.attention == "forward_transition_agent"
+            or hp.use_forward_attention_transition_agent
+        ),
         io_dtype=io_dtype_name,
         interpret=interpret,
         ablate=ablate,
@@ -590,6 +623,7 @@ def fused_decode(
         # the mechanisms are adopted at network level (flax first-adoption)
         jnp.asarray(variables["params"]["attention_0"]["attention_v"], jnp.float32),
         jnp.asarray(variables["params"]["attention_1"]["attention_v"], jnp.float32),
+        *_ta_operands(variables, cond, hp, w),
         w(p["decoder_lstm_0"]["gates"]["kernel"]), w(p["decoder_lstm_0"]["gates"]["bias"]),
         w(p["decoder_lstm_1"]["gates"]["kernel"]), w(p["decoder_lstm_1"]["gates"]["bias"]),
         w(sa["in_proj"]["kernel"]), w(sa["in_proj"]["bias"]),

@@ -99,3 +99,37 @@ def test_supports_fused_decode_gating():
     hp.attention = "forward"
     hp.n_feed_frame = 2
     assert not supports_fused_decode(hp)
+
+
+def test_fused_matches_xla_with_transition_agent():
+    """Forward attention + transition agent path of the fused kernel."""
+    hp = tiny_hparams(
+        tacotron_model="DualSourceSelfAttentionTacotronModel",
+        encoder="SelfAttentionCBHGEncoder",
+        decoder="DualSourceSelfAttentionDecoder",
+        attention="forward_transition_agent",
+        attention2="additive",
+        decoder_prenet_drop_rate=0.0,
+        max_iters=8,
+        stop_token_threshold=2.0,
+        compute_dtype="float32",
+    )
+    model = tacotron_model_factory(hp)
+    net = model.network(is_training=False)
+    B, S = 2, 16
+    source = jnp.asarray(
+        np.random.RandomState(1).randint(2, hp.num_symbols, (B, S)), jnp.int32
+    )
+    batch = {"source": source, "source_lengths": jnp.array([S, S - 4], jnp.int32)}
+    rngs = {k: jax.random.PRNGKey(i) for i, k in enumerate(["params", "dropout", "zoneout"])}
+    variables = net.init(
+        rngs, source, batch["source_lengths"], jnp.zeros((B, 4, hp.num_mels)),
+        jnp.full((B,), 4, jnp.int32),
+    )
+    ref = make_predict_fn(model, use_fused=False)(variables, batch, jax.random.PRNGKey(9))
+    got = make_predict_fn(model, use_fused=True)(variables, batch, jax.random.PRNGKey(9))
+    np.testing.assert_allclose(
+        np.asarray(got["mel"]), np.asarray(ref["mel"]), atol=2e-3, rtol=1e-3
+    )
+    for a, b in zip(got["alignments"], ref["alignments"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
