@@ -25,6 +25,23 @@ class Audio:
 
     def __init__(self, hparams: HParams):
         self.hparams = hparams
+        avg, std = hparams.average_mel_level_db, hparams.stddev_mel_level_db
+        if bool(avg) != bool(std):
+            raise ValueError(
+                "average_mel_level_db and stddev_mel_level_db must be set together"
+            )
+        if avg and (len(avg) != hparams.num_mels or len(std) != hparams.num_mels):
+            raise ValueError(
+                f"per-bin mel stats must have length num_mels={hparams.num_mels}; "
+                f"got {len(avg)} / {len(std)}"
+            )
+        if std and any(s <= 0 for s in std):
+            raise ValueError("stddev_mel_level_db entries must be positive")
+
+    @property
+    def uses_mel_standardization(self) -> bool:
+        """True when per-bin mel mean/std normalization is configured."""
+        return bool(self.hparams.average_mel_level_db)
 
     # --------------------------- file I/O --------------------------- #
 
@@ -80,6 +97,14 @@ class Audio:
                 preemphasis_coef=hp.preemphasis,
                 min_level_db=hp.min_level_db,
                 ref_level_db=hp.ref_level_db,
+                average_mel_level_db=(
+                    np.asarray(hp.average_mel_level_db, np.float32)
+                    if self.uses_mel_standardization else None
+                ),
+                stddev_mel_level_db=(
+                    np.asarray(hp.stddev_mel_level_db, np.float32)
+                    if self.uses_mel_standardization else None
+                ),
             )
         )
 
@@ -105,6 +130,24 @@ class Audio:
     def spectrogram(self, wav: np.ndarray) -> np.ndarray:
         """(frames, num_freq) normalized linear spectrogram."""
         return np.asarray(self._linear_fn(jnp.asarray(wav, jnp.float32)))
+
+    def denormalize_mel(self, mel: np.ndarray) -> np.ndarray:
+        """Map a normalized mel back to dB scale (inverse of melspectrogram).
+
+        Per-bin standardized features → mean/std destandardization; otherwise
+        the min/ref-level [0,1] denormalization.
+        """
+        hp = self.hparams
+        mel = jnp.asarray(mel, jnp.float32)
+        if self.uses_mel_standardization:
+            out = dsp.destandardize_mel_db(
+                mel,
+                jnp.asarray(hp.average_mel_level_db, jnp.float32),
+                jnp.asarray(hp.stddev_mel_level_db, jnp.float32),
+            )
+        else:
+            out = dsp.denormalize_db(mel, hp.min_level_db, hp.ref_level_db)
+        return np.asarray(out)
 
     def inv_spectrogram(self, spectrogram: np.ndarray) -> np.ndarray:
         """Griffin-Lim waveform reconstruction from a normalized linear spec."""

@@ -171,6 +171,27 @@ def denormalize_db(x: jnp.ndarray, min_level_db: float, ref_level_db: float) -> 
     return jnp.clip(x, 0.0, 1.0) * -min_level_db + min_level_db + ref_level_db
 
 
+def standardize_mel_db(
+    mel_db: jnp.ndarray, average: jnp.ndarray, stddev: jnp.ndarray
+) -> jnp.ndarray:
+    """Per-bin standardization of a dB-scale mel: (mel - mean) / std.
+
+    Reference capability: ``average_mel_level_db`` / ``stddev_mel_level_db``
+    hparams (SURVEY.md §2.1 audio row — per-bin mel normalization statistics;
+    mount empty, exact reference formula unverifiable). When these stats are
+    configured they REPLACE the min/ref-level [0,1] normalization, so the
+    model trains on zero-mean unit-variance features per mel bin.
+    """
+    return (mel_db - average[None, :]) / stddev[None, :]
+
+
+def destandardize_mel_db(
+    mel: jnp.ndarray, average: jnp.ndarray, stddev: jnp.ndarray
+) -> jnp.ndarray:
+    """Inverse of :func:`standardize_mel_db` (back to dB scale)."""
+    return mel * stddev[None, :] + average[None, :]
+
+
 def linear_spectrogram(
     wav: jnp.ndarray,
     *,
@@ -201,14 +222,28 @@ def mel_spectrogram(
     preemphasis_coef: float,
     min_level_db: float,
     ref_level_db: float,
+    average_mel_level_db=None,
+    stddev_mel_level_db=None,
 ) -> jnp.ndarray:
-    """Normalized mel spectrogram, (frames, num_mels). Fully jnp → fuses on TPU."""
+    """Normalized mel spectrogram, (frames, num_mels). Fully jnp → fuses on TPU.
+
+    When per-bin stats are given (``average_mel_level_db`` /
+    ``stddev_mel_level_db``, each length ``num_mels``), the dB mel is
+    standardized per bin instead of min/ref-level normalized to [0, 1].
+    """
     if preemphasis_coef > 0:
         wav = preemphasis(wav, preemphasis_coef)
     mag = jnp.abs(stft(wav, n_fft, hop_length, win_length))
     mel_basis = jnp.asarray(mel_filterbank(sample_rate, n_fft, num_mels, fmin, fmax))
     mel = mag @ mel_basis.T
-    return normalize_db(amp_to_db(mel), min_level_db, ref_level_db)
+    mel_db = amp_to_db(mel)
+    if average_mel_level_db is not None and stddev_mel_level_db is not None:
+        return standardize_mel_db(
+            mel_db,
+            jnp.asarray(average_mel_level_db, jnp.float32),
+            jnp.asarray(stddev_mel_level_db, jnp.float32),
+        )
+    return normalize_db(mel_db, min_level_db, ref_level_db)
 
 
 def griffin_lim(

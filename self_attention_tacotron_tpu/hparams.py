@@ -35,8 +35,16 @@ def _coerce(value: str, ref: Any) -> Any:
         return float(value)
     if isinstance(ref, (tuple, list)):
         items = [v for v in value.strip("[]()").split("+") if v]
-        elem = ref[0] if len(ref) > 0 else 0
-        return tuple(_coerce(v, elem) for v in items)
+        if len(ref) > 0:
+            return tuple(_coerce(v, ref[0]) for v in items)
+        # empty default tuple (e.g. average_mel_level_db): infer element
+        # type from the string — int if every item parses as int, else float
+        def _infer(v: str):
+            try:
+                return int(v)
+            except ValueError:
+                return float(v)
+        return tuple(_infer(v) for v in items)
     if ref is None or isinstance(ref, str):
         if value.lower() == "none":
             return None

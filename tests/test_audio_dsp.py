@@ -122,3 +122,47 @@ def test_wav_io_roundtrip(tmp_path):
     assert loaded.dtype == np.float32
     corr = np.corrcoef(loaded, wav)[0, 1]
     assert corr > 0.999
+
+
+def test_mel_standardization_wired_and_invertible():
+    """average/stddev_mel_level_db replace the [0,1] normalization (ADVICE r1)."""
+    hp = HParams(num_mels=8)
+    wav = _sine(440.0, hp.sample_rate, 0.2)
+    plain_db = Audio(hp)  # min/ref-level path
+    mel_01 = plain_db.melspectrogram(wav)
+    avg = tuple(float(x) for x in np.linspace(-40.0, -20.0, 8))
+    std = tuple(float(x) for x in np.linspace(5.0, 10.0, 8))
+    hp_std = HParams(num_mels=8, average_mel_level_db=avg, stddev_mel_level_db=std)
+    audio = Audio(hp_std)
+    assert audio.uses_mel_standardization
+    mel = audio.melspectrogram(wav)
+    assert mel.shape == mel_01.shape
+    # standardized features are NOT clipped to [0,1]
+    assert mel.min() < 0.0 or mel.max() > 1.0
+    # invertible back to dB, and consistent with the raw dB mel
+    mel_db = audio.denormalize_mel(mel)
+    expected_db = np.asarray(
+        dsp.amp_to_db(
+            jnp.abs(
+                dsp.stft(
+                    dsp.preemphasis(jnp.asarray(wav), hp.preemphasis),
+                    hp.n_fft, hp.hop_length, hp.win_length,
+                )
+            )
+            @ jnp.asarray(
+                dsp.mel_filterbank(hp.sample_rate, hp.n_fft, 8, hp.mel_fmin, hp.fmax)
+            ).T
+        )
+    )
+    np.testing.assert_allclose(mel_db, expected_db, rtol=1e-4, atol=1e-3)
+
+
+def test_mel_stats_validation():
+    with pytest.raises(ValueError):
+        Audio(HParams(num_mels=8, average_mel_level_db=(1.0,)))  # missing std
+    with pytest.raises(ValueError):
+        Audio(HParams(num_mels=8, average_mel_level_db=(1.0, 2.0),
+                      stddev_mel_level_db=(1.0, 2.0)))  # wrong length
+    with pytest.raises(ValueError):
+        Audio(HParams(num_mels=2, average_mel_level_db=(1.0, 2.0),
+                      stddev_mel_level_db=(1.0, 0.0)))  # non-positive std

@@ -49,3 +49,13 @@ def test_derived_audio_quantities():
 
 def test_values_is_json_serializable():
     json.dumps(HParams().values())
+
+
+def test_parse_empty_tuple_default_infers_float():
+    """Regression (ADVICE r1): CLI overrides of empty-default float tuples
+    must not crash; element type is inferred from the string."""
+    hp = HParams(num_mels=2).parse("average_mel_level_db=-1.5+-2.0")
+    assert hp.average_mel_level_db == (-1.5, -2.0)
+    hp2 = HParams().parse("mesh_shape=4+2")
+    assert hp2.mesh_shape == (4, 2)
+    assert all(isinstance(v, int) for v in hp2.mesh_shape)

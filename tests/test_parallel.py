@@ -88,3 +88,40 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_graft_dryrun_multichip_self_bootstraps():
+    """dryrun_multichip must go green WITHOUT conftest's device forcing.
+
+    Regression for MULTICHIP_r01.json (rc=1): the driver calls it from a
+    process with a single device, so the function must bootstrap its own
+    virtual CPU mesh via subprocess. We reproduce the driver environment by
+    spawning a child with the 8-device XLA_FLAGS stripped (the child then
+    sees one CPU device and must re-exec itself with the forcing applied).
+    """
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    )
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = repo + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import jax; assert len(jax.devices()) < 8, 'forcing leaked'; "
+            "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)",
+        ],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip OK" in proc.stdout
