@@ -20,6 +20,7 @@ JAX-CPU throughput on the identical config — the stand-in for the
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -134,6 +135,202 @@ def run_bench(
     )
 
 
+def run_ab(
+    batch_size: int,
+    max_iters: int,
+    src_len: int,
+    pairs: int,
+    mode: str,                 # "fused-vs-xla" | "mxu"
+    calls_per_sample: int = 3,
+    compute_dtype: str = "bfloat16",
+):
+    """Interleaved A/B in ONE process — the only timing comparison that
+    survives this backend's 2–3× cross-session device-load variance
+    (BASELINE.md protocol). Returns per-arm means/stds and pairwise ratios.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from self_attention_tacotron_tpu.models.models import tacotron_model_factory
+    from self_attention_tacotron_tpu.synthesis import make_predict_fn
+
+    hp = flagship_hparams()
+    hp.max_iters = max_iters
+    hp.compute_dtype = compute_dtype
+    model = tacotron_model_factory(hp)
+    net = model.network(is_training=False)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "source": jnp.asarray(
+            rng.randint(2, hp.num_symbols, (batch_size, src_len)), jnp.int32
+        ),
+        "source_lengths": jnp.full((batch_size,), src_len, jnp.int32),
+    }
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "dropout": jax.random.PRNGKey(1),
+        "zoneout": jax.random.PRNGKey(2),
+    }
+    targets = jnp.zeros((batch_size, hp.outputs_per_step * 2, hp.num_mels))
+    variables = net.init(
+        rngs, batch["source"], batch["source_lengths"], targets,
+        jnp.full((batch_size,), targets.shape[1], jnp.int32),
+    )
+    if mode == "fused-vs-xla":
+        arms = {
+            "fused": make_predict_fn(model, use_fused=True),
+            "xla": make_predict_fn(model, use_fused=False),
+        }
+    elif mode == "mxu":
+        arms = {
+            "vpu_attend": make_predict_fn(model, use_fused=True, mxu_attend=False),
+            "mxu_attend": make_predict_fn(model, use_fused=True, mxu_attend=True),
+        }
+    else:
+        raise ValueError(mode)
+
+    key = jax.random.PRNGKey(11)
+    for name, fn in arms.items():  # compile + warm both arms
+        out = fn(variables, batch, key)
+        jax.block_until_ready(out["mel"])
+        assert int(out["num_steps"]) == max_iters, f"{name}: early exit in bench"
+
+    def sample(fn, i):
+        t0 = time.perf_counter()
+        for k in range(calls_per_sample):
+            out = fn(variables, batch, jax.random.fold_in(key, i * 131 + k))
+        np.asarray(out["mel"])  # hard materialization
+        return (time.perf_counter() - t0) / calls_per_sample
+
+    names = list(arms)
+    times = {n: [] for n in names}
+    for i in range(pairs):
+        for n in names:          # alternate every sample
+            times[n].append(sample(arms[n], i))
+    frames = max_iters * hp.outputs_per_step
+    stats = {}
+    for n in names:
+        ts = np.asarray(times[n])
+        stats[n] = {
+            "mean_s": float(ts.mean()),
+            "std_s": float(ts.std()),
+            "frames_per_sec": float(batch_size * frames / ts.mean()),
+        }
+    a, b = names
+    ratios = np.asarray(times[b]) / np.asarray(times[a])
+    stats["ratio"] = {
+        f"{b}_over_{a}_mean": float(ratios.mean()),
+        f"{b}_over_{a}_std": float(ratios.std()),
+        "pairs": pairs,
+    }
+    return stats
+
+
+def run_train_bench(
+    batch_size: int,
+    target_frames: int,
+    src_len: int,
+    steps: int,
+    compute_dtype: str = "bfloat16",
+):
+    """Training-step throughput: teacher-forced fwd+bwd+Adam on the
+    flagship config (SURVEY §3.2 hot loop (a)). Reports steps/sec and
+    mel frames/sec at the given batch geometry."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from self_attention_tacotron_tpu.models.models import tacotron_model_factory
+    from self_attention_tacotron_tpu.training.schedules import make_optimizer
+    from self_attention_tacotron_tpu.training.trainer import TrainState
+
+    hp = flagship_hparams()
+    hp.compute_dtype = compute_dtype
+    r = hp.outputs_per_step
+    target_frames = (target_frames // r) * r
+    model = tacotron_model_factory(hp)
+    net = model.network(is_training=True)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "source": jnp.asarray(
+            rng.randint(2, hp.num_symbols, (batch_size, src_len)), jnp.int32
+        ),
+        "source_lengths": jnp.full((batch_size,), src_len, jnp.int32),
+        "mel": jnp.asarray(
+            rng.rand(batch_size, target_frames, hp.num_mels), jnp.float32
+        ),
+        "target_lengths": jnp.full((batch_size,), target_frames, jnp.int32),
+        "done": jnp.zeros((batch_size, target_frames), jnp.float32),
+    }
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "dropout": jax.random.PRNGKey(1),
+        "zoneout": jax.random.PRNGKey(2),
+    }
+    variables = net.init(
+        rngs, batch["source"], batch["source_lengths"], batch["mel"],
+        batch["target_lengths"],
+    )
+    tx = make_optimizer(hp)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        opt_state=tx.init(variables["params"]),
+        batch_stats=variables.get("batch_stats", {}),
+    )
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def train_step(state, b, rng):
+        def loss_fn(p):
+            vs = {"params": p}
+            if state.batch_stats:
+                vs["batch_stats"] = state.batch_stats
+            out, mut = net.apply(
+                vs, b["source"], b["source_lengths"], b["mel"],
+                b["target_lengths"],
+                rngs={"dropout": rng, "zoneout": jax.random.fold_in(rng, 1)},
+                mutable=["batch_stats"],
+            )
+            losses = model.loss(out, b, params=p)
+            return losses["loss"], mut.get("batch_stats", {})
+
+        grads, new_stats = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        return TrainState(
+            step=state.step + 1,
+            params=optax.apply_updates(state.params, updates),
+            opt_state=new_opt,
+            batch_stats=new_stats,
+        )
+
+    key = jax.random.PRNGKey(5)
+    t0 = time.perf_counter()
+    state = train_step(state, batch, key)
+    jax.block_until_ready(state.params)
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state = train_step(state, batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(state.params)
+    per_step = (time.perf_counter() - t0) / steps
+    import jax as _j
+
+    return dict(
+        steps_per_sec=1.0 / per_step,
+        frames_per_sec=batch_size * target_frames / per_step,
+        sec_per_step=per_step,
+        compile_seconds=compile_s,
+        batch_size=batch_size,
+        target_frames=target_frames,
+        device=str(_j.devices()[0]),
+    )
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--batch-size", type=int, default=32)
@@ -148,6 +345,13 @@ def main():
     )
     p.add_argument("--measure-cpu-baseline", action="store_true",
                    help="force CPU and report (for updating the baseline constant)")
+    p.add_argument("--ab", choices=["fused-vs-xla", "mxu"], default=None,
+                   help="interleaved A/B comparison in one process")
+    p.add_argument("--ab-pairs", type=int, default=6)
+    p.add_argument("--train", action="store_true",
+                   help="benchmark the teacher-forced training step instead")
+    p.add_argument("--train-frames", type=int, default=800)
+    p.add_argument("--train-steps", type=int, default=10)
     args = p.parse_args()
 
     if args.measure_cpu_baseline:
@@ -158,6 +362,37 @@ def main():
         from self_attention_tacotron_tpu.utils.platform import apply_platform_override
 
         apply_platform_override()
+
+    if args.ab:
+        stats = run_ab(
+            args.batch_size, args.max_iters, args.source_length,
+            pairs=args.ab_pairs, mode=args.ab,
+        )
+        print(json.dumps({"mode": f"ab:{args.ab}", **stats}))
+        return
+
+    if args.train:
+        result = run_train_bench(
+            args.batch_size, args.train_frames, args.source_length,
+            steps=args.train_steps,
+        )
+        print(
+            f"[bench] train device={result['device']} batch={result['batch_size']} "
+            f"frames/utt={result['target_frames']} "
+            f"step={result['sec_per_step'] * 1e3:.1f}ms compile={result['compile_seconds']:.1f}s",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "train_mel_frames_per_sec_per_chip",
+                    "value": round(result["frames_per_sec"], 1),
+                    "unit": "frames/sec",
+                    "vs_baseline": round(result["steps_per_sec"], 3),
+                }
+            )
+        )
+        return
 
     result = run_bench(
         args.batch_size,

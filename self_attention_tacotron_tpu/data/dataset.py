@@ -193,6 +193,32 @@ class TacotronDataset:
         if not self.ids:
             raise ValueError(f"no utterances found under {source_root}")
         self._cache: Dict[str, Tuple[SourceData, TargetData]] = {}
+        # cache_file_name (reference tf.data .cache(filename) knob): persist
+        # the parsed corpus across processes — one pickle instead of
+        # re-parsing thousands of small TFRecord files every run
+        if hparams.use_cache and hparams.cache_file_name:
+            self._load_file_cache(hparams.cache_file_name)
+
+    def _load_file_cache(self, path: str) -> None:
+        import pickle
+
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                self._cache = pickle.load(f)
+
+    def save_file_cache(self) -> None:
+        """Write the in-memory utterance cache to ``hparams.cache_file_name``."""
+        import pickle
+
+        path = self.hparams.cache_file_name
+        if not path:
+            raise ValueError("hparams.cache_file_name is empty")
+        for utt_id in self.ids:          # ensure the cache is complete
+            self._cache[utt_id] = self.load_utterance(utt_id)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(self._cache, f)
+        os.replace(tmp, path)
 
     def __len__(self) -> int:
         return len(self.ids)
@@ -282,9 +308,15 @@ class TacotronDataset:
         repeat: bool = False,
         drop_incomplete: Optional[bool] = None,
         seed: int = 0,
-        prefetch: int = 2,
+        prefetch: Optional[int] = None,
     ) -> Iterator[Dict[str, np.ndarray]]:
-        """Yield length-bucketed padded batches (background-thread prefetched)."""
+        """Yield length-bucketed padded batches (background-thread prefetched).
+
+        ``prefetch`` defaults to ``hparams.prefetch_buffer_size`` (reference
+        input-pipeline knob); pass 0 to disable the prefetch thread.
+        """
+        if prefetch is None:
+            prefetch = self.hparams.prefetch_buffer_size
         if drop_incomplete is None:
             drop_incomplete = repeat
 

@@ -69,7 +69,7 @@ class HParams:
     ref_level_db: float = 20.0
     average_mel_level_db: Tuple[float, ...] = ()  # optional per-bin mean norm
     stddev_mel_level_db: Tuple[float, ...] = ()   # optional per-bin std norm
-    silence_mel_level_db: float = -3.0            # stop-token "silence" floor
+    silence_mel_level_db: float = -3.0            # inert, reference-name parity (trailing silence handled by trim_top_db at preprocess)
     trim_top_db: float = 60.0         # silence trimming threshold
     trim_frame_length: int = 2048
     trim_hop_length: int = 512
@@ -99,7 +99,7 @@ class HParams:
     speaker_embedding_dim: int = 16
     speaker_embedding_offset: int = 0
     use_speaker_embedding: bool = False
-    channel_id_to_postnet: bool = False
+    channel_id_to_postnet: bool = False  # feed speaker embed to PostNetV2
     # accentual-type conditioning (Japanese pitch-accent config)
     use_accent_type: bool = False
     num_accent_type: int = 129
@@ -136,7 +136,7 @@ class HParams:
     attention1_out_units: int = 224   # dual-source: primary mechanism dim
     attention2_out_units: int = 32    # dual-source: secondary mechanism dim
     decoder_out_units: int = 256      # each decoder LSTM layer
-    decoder_version: str = "v1"
+    decoder_version: str = "v1"       # inert, reference-name parity (decoder selection keys on `decoder`)
     outputs_per_step: int = 2         # reduction factor r
     max_iters: int = 500              # AR decode cap (decoder steps)
     n_feed_frame: int = 1             # last n frames fed back per step
@@ -186,31 +186,35 @@ class HParams:
     learning_rate_step_factor: int = 1
     gradient_clip_norm: float = 1.0
     use_gradient_clipping: bool = False
-    save_summary_steps: int = 100
+    save_summary_steps: int = 100          # scalar-summary write cadence
     save_checkpoints_steps: int = 500
     keep_checkpoint_max: int = 200
-    keep_checkpoint_every_n_hours: int = 1
+    keep_checkpoint_every_n_hours: int = 1  # checkpoints on this grid survive eviction
     log_step_count_steps: int = 1
-    alignment_save_steps: int = 10000
-    save_training_time_metrics: bool = False
+    alignment_save_steps: int = 10000      # training-cadence alignment/mel PNGs
+    save_training_time_metrics: bool = False  # log steps/sec + frames/sec
     num_evaluation_steps: int = 64
-    eval_start_delay_secs: int = 120
-    eval_throttle_secs: int = 600
+    eval_start_delay_secs: int = 120       # no eval before this much train time
+    eval_throttle_secs: int = 600          # min seconds between evals
     random_seed: int = 1234
 
-    # input pipeline
-    approx_min_target_length: int = 100
+    # input pipeline. The TPU pipeline quantizes lengths to static bucket
+    # shapes and full-epoch shuffles in memory, so the tf.data boundary-
+    # estimation and streaming-shuffle knobs below are inert (kept for
+    # reference-name parity); the active knobs are batch_bucket_width,
+    # prefetch_buffer_size, use_cache and cache_file_name.
+    approx_min_target_length: int = 100  # inert: static bucket quantization needs no boundary estimate
     batch_bucket_width: int = 50
-    batch_num_buckets: int = 50
-    suffle_buffer_size: int = 64      # [sic] reference spelling, kept for parity
-    interleave_cycle_length_cpu_factor: float = 1.0
-    interleave_cycle_length_min: int = 4
-    interleave_cycle_length_max: int = 16
-    interleave_buffer_output_elements: int = 200
-    interleave_prefetch_input_elements: int = 200
-    prefetch_buffer_size: int = 4
-    use_cache: bool = False
-    cache_file_name: str = ""
+    batch_num_buckets: int = 50       # inert: bucket count follows from data/width, not a cap
+    suffle_buffer_size: int = 64      # [sic] reference spelling; inert: full-epoch shuffle is stronger
+    interleave_cycle_length_cpu_factor: float = 1.0  # inert: no file interleaving (direct per-utterance reads)
+    interleave_cycle_length_min: int = 4             # inert: see above
+    interleave_cycle_length_max: int = 16            # inert: see above
+    interleave_buffer_output_elements: int = 200     # inert: see above
+    interleave_prefetch_input_elements: int = 200    # inert: see above
+    prefetch_buffer_size: int = 4     # host prefetch-thread queue depth
+    use_cache: bool = False           # in-memory parsed-utterance cache
+    cache_file_name: str = ""         # + persist/load it as one pickle file
     dataset: str = "ljspeech"
     source_file_extension: str = "source.tfrecord"
     target_file_extension: str = "target.tfrecord"

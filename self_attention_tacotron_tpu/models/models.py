@@ -200,7 +200,10 @@ class TacotronNetwork(nn.Module):
         postnet_frames = None
         linear_frames = None
         if hp.use_postnet_v2:
-            postnet_frames = self.postnet(frames["mel"])
+            postnet_frames = self.postnet(
+                frames["mel"],
+                cond=cond.speaker_embed if hp.channel_id_to_postnet else None,
+            )
         if hp.use_linear_spectrogram_postnet:
             mel_for_post = postnet_frames if postnet_frames is not None else frames["mel"]
             linear_frames = self.post_cbhg(mel_for_post, target_lengths)
@@ -234,10 +237,16 @@ class TacotronNetwork(nn.Module):
     def decoder_post_step(self, feature, caches, index):
         return self.decoder.post_step(feature, caches, index)
 
-    def postnet_apply(self, mel: jnp.ndarray, lengths: jnp.ndarray):
+    def postnet_apply(self, mel: jnp.ndarray, lengths: jnp.ndarray, speaker_embed=None):
         """Apply configured postnets to a decoded mel (PREDICT path)."""
         hp = self.hparams
-        postnet_frames = self.postnet(mel) if hp.use_postnet_v2 else None
+        postnet_frames = (
+            self.postnet(
+                mel, cond=speaker_embed if hp.channel_id_to_postnet else None
+            )
+            if hp.use_postnet_v2
+            else None
+        )
         linear = None
         if hp.use_linear_spectrogram_postnet:
             mel_in = postnet_frames if postnet_frames is not None else mel

@@ -31,8 +31,18 @@ class PostNetV2(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, cond: jnp.ndarray = None) -> jnp.ndarray:
+        """``cond``: optional per-utterance conditioning (B, D) — the
+        speaker/channel embedding when ``hparams.channel_id_to_postnet``
+        is set (reference VCTK knob), broadcast over time and concatenated
+        to the input of the conv stack."""
         h = x
+        if cond is not None:
+            b, t, _ = x.shape
+            h = jnp.concatenate(
+                [h, jnp.broadcast_to(cond[:, None, :], (b, t, cond.shape[-1]))],
+                axis=-1,
+            )
         for i in range(self.num_layers - 1):
             h = Conv1dBN(
                 kernel_size=self.kernel_size,

@@ -49,11 +49,14 @@ NEG_INF = -1e9
 
 
 def supports_fused_decode(hp) -> bool:
-    """The flagship configuration the kernel specializes.
+    """The configurations the kernel specializes: the flagship
+    DualSourceSelfAttention decode, with or without speaker-embedding
+    conditioning (VCTK config — the embedding is a per-utterance vector
+    concatenated to the prenet output, passed as one extra operand).
 
-    Anything else (speaker embeddings in the decoder feed, MgcLf0 heads,
-    location-sensitive/teacher-forcing attention, multi-hop decoder SA,
-    forced alignment) falls back to the generic XLA loop.
+    Anything else (MgcLf0 heads, location-sensitive/teacher-forcing
+    attention, multi-hop decoder SA, forced alignment) falls back to the
+    generic XLA loop.
     """
     return (
         hp.decoder == "DualSourceSelfAttentionDecoder"
@@ -63,7 +66,6 @@ def supports_fused_decode(hp) -> bool:
         and hp.n_feed_frame == 1
         and len(hp.decoder_prenet_out_units) == 2
         and not hp.use_forced_alignment_mode
-        and not hp.use_speaker_embedding
     )
 
 
@@ -138,10 +140,14 @@ def _make_kernel(cfg: Dict[str, Any]):
     out_pad = ((out_width + 127) // 128) * 128
     align_pad = ((2 * S + 127) // 128) * 128
 
+    SPK = cfg.get("spk_dim", 0)           # speaker-embedding dim (0 = off)
+    real_B = cfg.get("real_batch", B)     # lanes beyond this are padding
+
     def kernel(
         # ---- inputs (VMEM unless noted) ----
         seed_ref,          # (1,) i32 SMEM
         feed0_ref,         # (B, M) bf16
+        spk_ref,           # (B, max(SPK,1)) bf16 speaker embedding (zeros if off)
         score_bias_ref,    # (B, S) f32: 0 valid / -1e9 padded
         keys1_ref,         # (B, S, A1) bf16
         keys2_ref,         # (B, S, A2) bf16
@@ -208,8 +214,11 @@ def _make_kernel(cfg: Dict[str, Any]):
                 x = dropout(x, P2)
 
             # ---------------- attention ZoneoutLSTM ---------------------
+            # speaker conditioning (VCTK): per-utterance embedding concat
+            # after the prenet, exactly as Decoder.step does
+            spk = [spk_ref[:].astype(jnp.float32)] if SPK else []
             att_in = jnp.concatenate(
-                [x, ctx1, ctx2, h_att], axis=-1
+                [x, *spk, ctx1, ctx2, h_att], axis=-1
             ).astype(io_dtype)
             c_att, h_att = _lstm_gate(att_in, w_attg_ref, b_attg_ref, c_att, h_att, zc, zo)
             query = h_att  # (B, AU) f32
@@ -410,12 +419,18 @@ def _make_kernel(cfg: Dict[str, Any]):
         init_alpha = (
             jax.lax.broadcasted_iota(jnp.int32, (B, S), 1) == 0
         ).astype(jnp.float32)
+        # padded lanes (small-batch tiling) start "finished" so the
+        # early-exit min() only gates on real lanes — their zero
+        # conditioning would otherwise hold the loop to max_iters
+        init_finished = (
+            jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0) >= real_B
+        ).astype(jnp.float32)
         carry = (
             jnp.zeros((), jnp.int32),
             feed0_ref[:],
             z(B, AU), z(B, AU), z(B, DU), z(B, DU), z(B, DU), z(B, DU),
             init_alpha, jnp.full((B, 1), 0.5, jnp.float32), z(B, E1), z(B, E2),
-            z(B, 1), jnp.zeros((B, 1), jnp.int32),
+            init_finished, jnp.zeros((B, 1), jnp.int32),
         )
 
         def loop_cond(carry):
@@ -559,6 +574,9 @@ def fused_decode(
                 None if m is None else jnp.pad(m, ((0, pad), (0, 0)))
                 for m in cond.masks
             ),
+            speaker_embed=(
+                None if cond.speaker_embed is None else pad_b(cond.speaker_embed)
+            ),
         )
         batch = 8
 
@@ -578,8 +596,12 @@ def fused_decode(
     pe_rate = (1.0 / np.power(10000.0, (2.0 * (i // 2)) / sa_dim)).astype(np.float32)
     pe_even = (i % 2 == 0).astype(np.float32)
 
+    spk = cond.speaker_embed
+    spk_dim = 0 if spk is None else int(spk.shape[-1])
     cfg = dict(
         batch=batch,
+        real_batch=real_batch,
+        spk_dim=spk_dim,
         src_len=S,
         max_iters=max_iters,
         r=hp.outputs_per_step,
@@ -613,6 +635,7 @@ def fused_decode(
     operands = (
         jnp.asarray(seed, jnp.int32).reshape(1),
         jnp.zeros((batch, hp.num_mels), bf),               # go frame
+        (w(spk) if spk_dim else jnp.zeros((batch, 1), bf)),  # speaker embed
         score_bias,
         w(cond.keys[0]), w(cond.keys[1]),
         w(cond.memories[0]), w(cond.memories[1]),
@@ -661,6 +684,11 @@ def fused_decode(
     out_rows = out_rows.transpose(1, 0, 2)              # (B, T, r·M + r)
     frames = out_rows[..., : r * m].reshape(batch, max_iters * r, m)
     stop = jax.nn.sigmoid(out_rows[..., r * m :]).reshape(batch, max_iters * r)
+    # zero the stop tail AFTER the sigmoid: rows past the early-exit step
+    # were zero-filled above, and sigmoid(0)=0.5 would otherwise disagree
+    # with the XLA path's zero fill (ADVICE r1)
+    frame_valid = (jnp.arange(max_iters * r) < num_steps * r)[None, :]
+    stop = jnp.where(frame_valid, stop, 0.0)
     align_rows = align_rows.transpose(1, 0, 2)          # (B, T, 2S)
     aligns = (align_rows[..., :S], align_rows[..., S:])
     return dict(

@@ -48,25 +48,70 @@ def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
 
 
-def shard_batch(batch: dict, mesh: Mesh) -> dict:
+def shard_batch(batch: dict, mesh: Mesh, pad_to_data_axis: bool = True) -> dict:
     """Device-put a host batch dict with batch-dim sharding over 'data'.
 
-    Falls back to replication when the batch size does not divide the data
-    axis (e.g. tiny test batches on a large mesh) — still correct, just
-    not data-parallel.
+    When the batch size does not divide the data axis, the batch is PADDED
+    up to the next multiple by repeating the last example, and the pad
+    rows' ``target_lengths``/``source_lengths`` are zeroed so every loss
+    term masks them out (losses are already length-masked) — data
+    parallelism is preserved for uneven final batches. With
+    ``pad_to_data_axis=False`` (or a batch smaller than the axis in an
+    already-0-length-free dict) it falls back to replication.
     """
     data_size = mesh.shape.get("data", 1)
-    out = {}
-    for key, value in batch.items():
-        if not hasattr(value, "ndim") or value.dtype.kind in ("U", "S", "O"):
-            out[key] = value  # ids / strings stay on host
-            continue
+    arrays = {
+        k: v
+        for k, v in batch.items()
+        if hasattr(v, "ndim") and v.dtype.kind not in ("U", "S", "O")
+    }
+    out = {k: v for k, v in batch.items() if k not in arrays}  # ids stay on host
+
+    batch_dims = {v.shape[0] for v in arrays.values() if v.ndim >= 1}
+    uniform = len(batch_dims) == 1
+    b = batch_dims.pop() if uniform else None
+    # pad only loss-maskable batches (they carry target_lengths); plain
+    # dicts keep their size and fall back to replication below
+    can_pad = uniform and pad_to_data_axis and "target_lengths" in arrays
+    if can_pad and b % data_size != 0 and data_size > 1:
+        pad = (-b) % data_size
+        import warnings
+
+        warnings.warn(
+            f"batch of {b} does not divide the data axis ({data_size}); "
+            f"padding {pad} masked rows to keep data parallelism",
+            stacklevel=2,
+        )
+        padded = {}
+        for k, v in arrays.items():
+            tail = np.repeat(np.asarray(v)[-1:], pad, axis=0)
+            if k == "target_lengths":
+                tail = np.zeros_like(tail)   # losses mask these rows out
+            elif k == "source_lengths":
+                tail = np.ones_like(tail)    # keep encoder scans well-posed
+            padded[k] = jnp_concat(v, tail)
+        arrays = padded
+
+    for key, value in arrays.items():
         if value.ndim >= 1 and value.shape[0] % data_size == 0:
             sharding = batch_sharding(mesh, value.ndim)
         else:
+            if data_size > 1:
+                import warnings
+
+                warnings.warn(
+                    f"replicating {key!r} (dim0={value.shape[:1]}) — batch does "
+                    f"not divide the {data_size}-way data axis; this batch is "
+                    "NOT data-parallel",
+                    stacklevel=2,
+                )
             sharding = replicated(mesh)
         out[key] = jax.device_put(value, sharding)
     return out
+
+
+def jnp_concat(head, tail):
+    return np.concatenate([np.asarray(head), tail], axis=0)
 
 
 # --------------------------------------------------------------------------- #

@@ -27,6 +27,7 @@ def make_predict_fn(
     model: TacotronModelBase,
     max_iters: Optional[int] = None,
     use_fused: Optional[bool] = None,
+    mxu_attend: bool = False,
 ):
     """Build a jitted ``predict(variables, batch, rng) -> dict`` function.
 
@@ -90,9 +91,10 @@ def make_predict_fn(
                     max_iters=max_steps,
                     seed=seed,
                     interpret=on_cpu,
+                    mxu_attend=mxu_attend,
                 )
             )
-            return _assemble_outputs(result, enc_sa, hp, net, variables)
+            return _assemble_outputs(result, enc_sa, hp, net, variables, cond)
 
         init_state = net.apply(variables, cond, method=TacotronNetwork.decoder_initial_state)
         init_caches = net.apply(
@@ -147,12 +149,12 @@ def make_predict_fn(
             stop_threshold=hp.stop_token_threshold,
         )
 
-        return _assemble_outputs(result, enc_sa, hp, net, variables)
+        return _assemble_outputs(result, enc_sa, hp, net, variables, cond)
 
     return predict
 
 
-def _assemble_outputs(result: DecodeResult, enc_sa, hp, net, variables):
+def _assemble_outputs(result: DecodeResult, enc_sa, hp, net, variables, cond=None):
     out = {
         "lengths": result.lengths,
         "stop_probs": result.stop_probs,
@@ -167,6 +169,7 @@ def _assemble_outputs(result: DecodeResult, enc_sa, hp, net, variables):
             variables,
             result.frames["mel"],
             result.lengths,
+            None if cond is None else cond.speaker_embed,
             method=TacotronNetwork.postnet_apply,
         )
         if postnet_mel is not None:

@@ -14,7 +14,9 @@ parallel/mesh.py — XLA inserts the gradient all-reduce over ICI.
 
 from __future__ import annotations
 
+import datetime
 import os
+import time
 from typing import Any, Dict, Iterator, Optional, Tuple
 
 import flax.struct
@@ -86,6 +88,13 @@ class Trainer:
             self.checkpoint_dir,
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=self.hparams.keep_checkpoint_max,
+                # reference keep_checkpoint_every_n_hours: checkpoints on
+                # this time grid survive the max_to_keep eviction
+                keep_time_interval=(
+                    datetime.timedelta(hours=self.hparams.keep_checkpoint_every_n_hours)
+                    if self.hparams.keep_checkpoint_every_n_hours > 0
+                    else None
+                ),
                 create=True,
             ),
         )
@@ -240,11 +249,18 @@ class Trainer:
     ) -> TrainState:
         hp = self.hparams
         rng = rng if rng is not None else jax.random.PRNGKey(hp.random_seed)
-        first = next(iter(train_batches))
+        # normalize to an iterator up front: a re-iterable (e.g. a list)
+        # would otherwise replay the peeked first batch twice per pass
+        train_batches = iter(train_batches)
+        first = next(train_batches)
         if state is None:
             state = self.restore_or_init(rng, first, warm_start_from=warm_start_from)
         start = int(state.step)
 
+        train_start = time.monotonic()
+        last_eval_time: Optional[float] = None
+        window_t0 = time.monotonic()
+        window_steps = 0
         batch_iter = _chain_first(first, train_batches)
         for batch in batch_iter:
             if int(state.step) - start >= num_steps:
@@ -254,17 +270,57 @@ class Trainer:
             )
             state, metrics = self._train_step(state, device_batch, rng)
             step = int(state.step)
-            if step % hp.log_step_count_steps == 0 or step == start + 1:
-                self.metrics.write(step, {k: float(v) for k, v in metrics.items()})
+            window_steps += 1
+            # log_step_count_steps: step-loss logging cadence;
+            # save_summary_steps: scalar-summary cadence (both feed the
+            # same JSONL+TensorBoard writer here — union of the two grids)
+            if (
+                step % hp.log_step_count_steps == 0
+                or step % hp.save_summary_steps == 0
+                or step == start + 1
+            ):
+                scalars = {k: float(v) for k, v in metrics.items()}
+                if hp.save_training_time_metrics:
+                    dt = max(time.monotonic() - window_t0, 1e-9)
+                    scalars["steps_per_sec"] = window_steps / dt
+                    scalars["frames_per_sec"] = (
+                        window_steps
+                        * float(np.sum(np.asarray(batch["target_lengths"])))
+                        / dt
+                    )
+                self.metrics.write(step, scalars)
+                window_t0 = time.monotonic()
+                window_steps = 0
             if step % hp.save_checkpoints_steps == 0:
                 self.save(state)
-            if eval_batches_fn is not None and step % hp.alignment_save_steps == 0:
-                self.evaluate(state, eval_batches_fn(), rng)
+            # MetricsSaverHook parity: alignment/mel PNGs on a TRAINING
+            # step cadence (rendered from an eval-mode forward on the
+            # current batch), independent of the eval loop
+            if step % hp.alignment_save_steps == 0:
+                _, out = self._eval_step(
+                    state, device_batch, jax.random.fold_in(rng, step)
+                )
+                self._save_artifacts(step, out, batch, tag="train_")
+            # train_and_evaluate parity: eval follows new checkpoints,
+            # gated by eval_start_delay_secs / eval_throttle_secs
+            if eval_batches_fn is not None and step % hp.save_checkpoints_steps == 0:
+                now = time.monotonic()
+                if now - train_start >= hp.eval_start_delay_secs and (
+                    last_eval_time is None
+                    or now - last_eval_time >= hp.eval_throttle_secs
+                ):
+                    self.evaluate(state, eval_batches_fn(), rng)
+                    last_eval_time = time.monotonic()
         self.save(state)
         return state
 
+    #: utterances rendered to PNGs per eval (alignment debugging wants >1)
+    EVAL_PLOT_UTTERANCES = 3
+
     def evaluate(self, state: TrainState, eval_batches, rng) -> Dict[str, float]:
         hp = self.hparams
+        # decouple the eval dropout/zoneout stream from training's
+        rng = jax.random.fold_in(rng, 7919)
         totals: Dict[str, float] = {}
         count = 0
         first_out = first_batch = None
@@ -285,30 +341,37 @@ class Trainer:
         means = {f"eval_{k}": v / count for k, v in totals.items()}
         step = int(state.step)
         self.metrics.write(step, means)
-        self._save_eval_artifacts(step, first_out, first_batch)
+        self._save_artifacts(
+            step, first_out, first_batch, max_utts=self.EVAL_PLOT_UTTERANCES
+        )
         return means
 
-    def _save_eval_artifacts(self, step: int, out, batch) -> None:
+    def _save_artifacts(self, step: int, out, batch, *, tag="", max_utts=1) -> None:
         """Alignment + mel comparison PNGs (MetricsSaverHook parity)."""
         r = self.hparams.outputs_per_step
-        dec_steps = int(batch["target_lengths"][0]) // r
-        src_len = int(batch["source_lengths"][0])
-        aligns = [np.asarray(a[0]) for a in out.alignments]
-        save_alignment_png(
-            aligns,
-            os.path.join(self.log_dir, f"alignment_step{step:08d}.png"),
-            info=f"step {step}",
-            source_length=src_len,
-            decoder_steps=dec_steps,
-        )
-        if "mel" in out.frames:
-            save_mel_comparison_png(
-                np.asarray(out.frames["mel"][0]),
-                np.asarray(batch["mel"][0]),
-                os.path.join(self.log_dir, f"mel_step{step:08d}.png"),
+        n = min(max_utts, int(batch["source_lengths"].shape[0]))
+        for u in range(n):
+            suffix = f"_utt{u}" if n > 1 else ""
+            dec_steps = int(batch["target_lengths"][u]) // r
+            src_len = int(batch["source_lengths"][u])
+            aligns = [np.asarray(a[u]) for a in out.alignments]
+            save_alignment_png(
+                aligns,
+                os.path.join(
+                    self.log_dir, f"{tag}alignment_step{step:08d}{suffix}.png"
+                ),
                 info=f"step {step}",
-                length=int(batch["target_lengths"][0]),
+                source_length=src_len,
+                decoder_steps=dec_steps,
             )
+            if "mel" in out.frames:
+                save_mel_comparison_png(
+                    np.asarray(out.frames["mel"][u]),
+                    np.asarray(batch["mel"][u]),
+                    os.path.join(self.log_dir, f"{tag}mel_step{step:08d}{suffix}.png"),
+                    info=f"step {step}",
+                    length=int(batch["target_lengths"][u]),
+                )
 
 
 def _chain_first(first, iterator):

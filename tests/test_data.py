@@ -142,3 +142,28 @@ def test_dataset_factory():
     assert dataset_factory("japanese").__name__ == "JapanesePitchAccent"
     with pytest.raises(ValueError):
         dataset_factory("unknown")
+
+
+def test_cache_file_roundtrip(tmp_path):
+    """cache_file_name persists the parsed corpus as one pickle (wired r2)."""
+    from self_attention_tacotron_tpu.data.synthetic import generate_corpus
+    from self_attention_tacotron_tpu.data.dataset import TacotronDataset
+    import os
+    from tests.test_models import tiny_hparams
+
+    hp = tiny_hparams(sample_rate=8000, num_freq=129, frame_length_ms=32,
+                      frame_shift_ms=16, use_cache=True,
+                      cache_file_name=str(tmp_path / "corpus.cache"))
+    root = str(tmp_path / "corpus")
+    generate_corpus(root, hp, num_utterances=4, min_symbols=4, max_symbols=6)
+    data = TacotronDataset(root, root, hp)
+    data.save_file_cache()
+    assert os.path.exists(hp.cache_file_name)
+
+    # a fresh dataset loads from the cache file without touching tfrecords
+    data2 = TacotronDataset(root, root, hp)
+    assert set(data2._cache.keys()) == set(data.ids)
+    import numpy as np
+    a = data.load_utterance(data.ids[0])[1].mel
+    b = data2._cache[data.ids[0]][1].mel
+    np.testing.assert_array_equal(a, b)

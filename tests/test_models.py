@@ -271,3 +271,54 @@ def test_dual_decoder_with_single_encoder_raises():
                       tacotron_model="DualSourceSelfAttentionTacotronModel")
     with pytest.raises(ValueError):
         tacotron_model_factory(hp)
+
+
+def test_channel_id_to_postnet_conditions_postnet():
+    """channel_id_to_postnet feeds the speaker embedding to PostNetV2 (wired r2)."""
+    common = dict(
+        tacotron_model="ExtendedTacotronV1Model",
+        encoder="ZoneoutEncoderV1",
+        decoder="ExtendedDecoder",
+        use_postnet_v2=True,
+        postnet_v2_num_layers=2,
+        postnet_v2_out_channels=8,
+        use_speaker_embedding=True,
+    )
+    hp = tiny_hparams(channel_id_to_postnet=True, **common)
+    model = tacotron_model_factory(hp)
+    batch = _batch(hp)
+    net, variables, out, _ = _init_and_forward(model, batch)
+    assert out.postnet_frames.shape == (2, 8, hp.num_mels)
+    # the postnet's first conv consumes mel + speaker-embedding channels
+    k = variables["params"]["postnet_v2"]["conv_0"]["Conv_0"]["kernel"]
+    assert k.shape[-2] == hp.num_mels + hp.speaker_embedding_dim
+    hp_off = tiny_hparams(channel_id_to_postnet=False, **common)
+    model_off = tacotron_model_factory(hp_off)
+    _, v_off, _, _ = _init_and_forward(model_off, _batch(hp_off))
+    assert v_off["params"]["postnet_v2"]["conv_0"]["Conv_0"]["kernel"].shape[-2] == hp.num_mels
+
+
+def test_convert_checkpoint_merge_helper(tmp_path):
+    """merge_into_params overlays partial trees, skipping mismatches (ADVICE r1)."""
+    import flax.serialization
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.convert_tf_checkpoint import merge_into_params
+
+    params = {
+        "embedding": {"embedding": np.zeros((4, 3), np.float32)},
+        "decoder": {"prenet": {"kernel": np.zeros((2, 2), np.float32)}},
+    }
+    donor = {
+        "embedding": {"embedding": np.ones((4, 3), np.float32)},
+        "decoder": {"prenet": {"kernel": np.ones((5, 5), np.float32)}},  # wrong shape
+        "mystery": {"w": np.ones((1,), np.float32)},                     # not in model
+    }
+    path = str(tmp_path / "donor.msgpack")
+    with open(path, "wb") as f:
+        f.write(flax.serialization.msgpack_serialize(donor))
+    merged, loaded, skipped = merge_into_params(params, path)
+    np.testing.assert_array_equal(merged["embedding"]["embedding"], 1.0)
+    np.testing.assert_array_equal(merged["decoder"]["prenet"]["kernel"], 0.0)
+    assert loaded == ["embedding/embedding"]
+    assert any("shape" in s for s in skipped) and any("not in model" in s for s in skipped)

@@ -38,9 +38,31 @@ def test_shard_batch_splits_on_data_axis():
 
 
 def test_shard_batch_replicates_indivisible():
+    """Plain dicts (no target_lengths) keep their size; warn + replicate."""
     mesh = make_mesh()
-    out = shard_batch({"x": np.ones((3, 5), np.float32)}, mesh)
+    with pytest.warns(UserWarning, match="NOT data-parallel"):
+        out = shard_batch({"x": np.ones((3, 5), np.float32)}, mesh)
     assert out["x"].sharding.is_fully_replicated
+    assert out["x"].shape == (3, 5)
+
+
+def test_shard_batch_pads_maskable_batches():
+    """Loss-maskable batches pad to the data axis and stay data-parallel."""
+    mesh = make_mesh()  # data axis = 8
+    batch = {
+        "mel": np.random.rand(5, 6, 4).astype(np.float32),
+        "source_lengths": np.array([3, 3, 3, 3, 3], np.int32),
+        "target_lengths": np.array([6, 6, 6, 6, 6], np.int32),
+    }
+    with pytest.warns(UserWarning, match="padding 3 masked rows"):
+        out = shard_batch(batch, mesh)
+    assert out["mel"].shape == (8, 6, 4)
+    assert not out["mel"].sharding.is_fully_replicated
+    lengths = np.asarray(out["target_lengths"])
+    assert list(lengths) == [6, 6, 6, 6, 6, 0, 0, 0]   # pad rows masked
+    assert list(np.asarray(out["source_lengths"])[5:]) == [1, 1, 1]
+    # pad rows replicate the last real example's features
+    np.testing.assert_array_equal(np.asarray(out["mel"])[5:], batch["mel"][4:5].repeat(3, axis=0))
 
 
 def test_param_rules_shard_ffn_and_embedding():

@@ -13,8 +13,13 @@ Usage:
   tools/convert_tf_checkpoint.py <tf_ckpt_prefix> <out.msgpack> \
       [--hparams=...] [--list-only]
 
-The output is a flax-serialized params pytree loadable with
-``flax.serialization.from_bytes(variables["params"], open(path,"rb").read())``.
+The output is a flax msgpack of the PARTIAL tree NAME_MAP resolves (the
+encoder/self-attention rows are not mapped yet — blocked on the mount).
+``flax.serialization.from_bytes`` requires an exactly matching tree, so do
+NOT load it that way; merge it into an initialized params tree instead:
+
+    from tools.convert_tf_checkpoint import merge_into_params
+    params, loaded, skipped = merge_into_params(variables["params"], path)
 """
 
 from __future__ import annotations
@@ -116,6 +121,42 @@ def unflatten(flat: Dict[str, np.ndarray]) -> Dict:
             node = node.setdefault(part, {})
         node[parts[-1]] = value
     return tree
+
+
+def merge_into_params(params: Dict, msgpack_path: str):
+    """Overlay a converted (partial) tree onto an initialized params tree.
+
+    Returns ``(merged_params, loaded_paths, skipped_paths)``. Leaves present
+    in the msgpack but absent (or shape-mismatched) in ``params`` are
+    skipped and reported rather than failing, so a partially-mapped
+    checkpoint still warm-starts the mapped submodules.
+    """
+    import flax.serialization
+
+    with open(msgpack_path, "rb") as f:
+        donor = flax.serialization.msgpack_restore(f.read())
+
+    loaded: List[str] = []
+    skipped: List[str] = []
+
+    def _merge(dst, src, prefix=""):
+        out = dict(dst)
+        for key, value in src.items():
+            path = f"{prefix}/{key}" if prefix else key
+            if key not in dst:
+                skipped.append(path + " (not in model)")
+            elif isinstance(value, dict):
+                out[key] = _merge(dst[key], value, path)
+            elif tuple(np.shape(dst[key])) != tuple(np.shape(value)):
+                skipped.append(
+                    f"{path} (shape {np.shape(value)} != model {np.shape(dst[key])})"
+                )
+            else:
+                out[key] = np.asarray(value, dtype=np.asarray(dst[key]).dtype)
+                loaded.append(path)
+        return out
+
+    return _merge(params, donor), loaded, skipped
 
 
 def main():
