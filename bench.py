@@ -65,6 +65,7 @@ def run_bench(
     seed: int = 0,
     compute_dtype: str = "bfloat16",
     profile_dir: str | None = None,
+    decode: str = "auto",          # auto | fused | xla
 ):
     import jax
     import jax.numpy as jnp
@@ -97,7 +98,8 @@ def run_bench(
         rngs, batch["source"], batch["source_lengths"], targets,
         jnp.full((batch_size,), targets.shape[1], jnp.int32),
     )
-    predict = make_predict_fn(model)
+    use_fused = {"auto": None, "fused": True, "xla": False}[decode]
+    predict = make_predict_fn(model, use_fused=use_fused)
 
     key = jax.random.PRNGKey(7)
     t0 = time.perf_counter()
@@ -343,6 +345,8 @@ def main():
         default=None,
         help="capture a jax.profiler trace (xplane) of one timed decode",
     )
+    p.add_argument("--decode", choices=["auto", "fused", "xla"], default="auto",
+                   help="force the decode implementation (profiling)")
     p.add_argument("--measure-cpu-baseline", action="store_true",
                    help="force CPU and report (for updating the baseline constant)")
     p.add_argument("--ab", choices=["fused-vs-xla", "mxu"], default=None,
@@ -402,6 +406,7 @@ def main():
         # the CPU stand-in baseline runs float32, like the TF-CPU reference would
         compute_dtype="float32" if args.measure_cpu_baseline else "bfloat16",
         profile_dir=args.profile_dir,
+        decode=args.decode,
     )
     print(
         f"[bench] device={result['device']} batch={result['batch_size']} "

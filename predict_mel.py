@@ -83,7 +83,16 @@ def main():
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
 
-    predict = make_predict_fn(model)
+    # multi-chip serving: shard the batch over the mesh 'data' axis when
+    # more than one device is attached (SURVEY §2.3 batched synthesis)
+    n_dev = len(jax.devices())
+    if n_dev > 1 and batch_size % n_dev == 0:
+        from self_attention_tacotron_tpu.parallel import make_mesh
+        from self_attention_tacotron_tpu.synthesis import make_sharded_predict_fn
+
+        predict = make_sharded_predict_fn(model, make_mesh((n_dev, 1)))
+    else:
+        predict = make_predict_fn(model)
     os.makedirs(args.output_dir, exist_ok=True)
     rng = jax.random.PRNGKey(hparams.random_seed)
     audio = None

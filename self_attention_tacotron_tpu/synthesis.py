@@ -154,6 +154,72 @@ def make_predict_fn(
     return predict
 
 
+def make_sharded_predict_fn(
+    model: TacotronModelBase,
+    mesh,
+    max_iters: Optional[int] = None,
+    use_fused: Optional[bool] = None,
+):
+    """Data-parallel batched synthesis over a ``jax.sharding.Mesh``.
+
+    New TPU capability (SURVEY.md §2.3 — the reference is single-device):
+    the batch is split over the mesh ``data`` axis with ``shard_map``; each
+    device runs the full decode (fused Pallas kernel or XLA loop) on its
+    shard, so B utterances synthesize on N chips in the time of B/N. The
+    only cross-device communication is one ``pmax`` of the step counter.
+
+    Batch size must be divisible by the data axis; params are replicated.
+    """
+    import jax.sharding as jsh
+    from jax.experimental.shard_map import shard_map
+
+    predict = make_predict_fn(model, max_iters=max_iters, use_fused=use_fused)
+    P = jsh.PartitionSpec
+    data_axis = "data"
+
+    def per_shard(variables, batch, rng):
+        out = predict(variables, batch, rng)
+        # per-shard early exit can stop at different steps; replicate the max
+        out["num_steps"] = jax.lax.pmax(out["num_steps"], data_axis)
+        return out
+
+    cache = {}
+
+    def sharded_predict(variables, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        b = batch["source"].shape[0]
+        n = mesh.shape[data_axis]
+        if b % n != 0:
+            raise ValueError(f"batch {b} must divide the data axis ({n})")
+        key = (b,) + tuple(sorted(batch))
+        if key not in cache:
+            in_specs = (
+                jax.tree.map(lambda _: P(), variables),
+                {k: P(data_axis) for k in batch},
+                P(),
+            )
+            out_shapes = jax.eval_shape(per_shard_like, variables, batch, rng)
+            out_specs = jax.tree.map(lambda _: P(data_axis), out_shapes)
+            out_specs["num_steps"] = P()
+            cache[key] = jax.jit(
+                shard_map(
+                    per_shard,
+                    mesh=mesh,
+                    in_specs=in_specs,
+                    out_specs=out_specs,
+                    check_rep=False,
+                )
+            )
+        return cache[key](variables, batch, rng)
+
+    def per_shard_like(variables, batch, rng):
+        # eval_shape target with FULL batch: leading dims differ from the
+        # per-shard call but the pytree STRUCTURE (what out_specs needs)
+        # is identical
+        return predict(variables, batch, rng)
+
+    return sharded_predict
+
+
 def _assemble_outputs(result: DecodeResult, enc_sa, hp, net, variables, cond=None):
     out = {
         "lengths": result.lengths,

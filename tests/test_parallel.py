@@ -147,3 +147,58 @@ def test_graft_dryrun_multichip_self_bootstraps():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "dryrun_multichip OK" in proc.stdout
+
+
+def test_sharded_predict_matches_unsharded():
+    """Data-parallel batched synthesis (shard_map) == single-device decode."""
+    from self_attention_tacotron_tpu.models.models import tacotron_model_factory
+    from self_attention_tacotron_tpu.synthesis import (
+        make_predict_fn,
+        make_sharded_predict_fn,
+    )
+    from tests.test_models import tiny_hparams
+
+    hp = tiny_hparams(
+        tacotron_model="DualSourceSelfAttentionTacotronModel",
+        encoder="SelfAttentionCBHGEncoder",
+        decoder="DualSourceSelfAttentionDecoder",
+        decoder_prenet_drop_rate=0.0,   # determinism across batch splits
+        encoder_prenet_drop_rate=0.0,
+        max_iters=6,
+        stop_token_threshold=2.0,
+    )
+    model = tacotron_model_factory(hp)
+    net = model.network(is_training=False)
+    B, S = 8, 16
+    source = jnp.asarray(
+        np.random.RandomState(0).randint(2, hp.num_symbols, (B, S)), jnp.int32
+    )
+    batch = {
+        "source": source,
+        "source_lengths": jnp.asarray(
+            np.random.RandomState(1).randint(8, S + 1, (B,)), jnp.int32
+        ),
+    }
+    rngs = {k: jax.random.PRNGKey(i) for i, k in enumerate(["params", "dropout", "zoneout"])}
+    variables = net.init(
+        rngs, source, batch["source_lengths"], jnp.zeros((B, 4, hp.num_mels)),
+        jnp.full((B,), 4, jnp.int32),
+    )
+    mesh = make_mesh()  # 8 virtual devices on 'data'
+    key = jax.random.PRNGKey(3)
+    ref = make_predict_fn(model, use_fused=False)(variables, batch, key)
+    got = make_sharded_predict_fn(model, mesh, use_fused=False)(variables, batch, key)
+    np.testing.assert_allclose(
+        np.asarray(got["mel"]), np.asarray(ref["mel"]), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(got["lengths"]), np.asarray(ref["lengths"]))
+    assert int(got["num_steps"]) == int(ref["num_steps"])
+    # outputs really are sharded over the data axis
+    assert not got["mel"].sharding.is_fully_replicated
+
+    with pytest.raises(ValueError, match="must divide"):
+        make_sharded_predict_fn(model, mesh)(
+            variables,
+            {"source": source[:3], "source_lengths": batch["source_lengths"][:3]},
+            key,
+        )
