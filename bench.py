@@ -66,6 +66,7 @@ def run_bench(
     compute_dtype: str = "bfloat16",
     profile_dir: str | None = None,
     decode: str = "auto",          # auto | fused | xla
+    mxu_attend: bool = False,
 ):
     import jax
     import jax.numpy as jnp
@@ -99,7 +100,7 @@ def run_bench(
         jnp.full((batch_size,), targets.shape[1], jnp.int32),
     )
     use_fused = {"auto": None, "fused": True, "xla": False}[decode]
-    predict = make_predict_fn(model, use_fused=use_fused)
+    predict = make_predict_fn(model, use_fused=use_fused, mxu_attend=mxu_attend)
 
     key = jax.random.PRNGKey(7)
     t0 = time.perf_counter()
@@ -236,6 +237,7 @@ def run_train_bench(
     src_len: int,
     steps: int,
     compute_dtype: str = "bfloat16",
+    profile_dir: str | None = None,
 ):
     """Training-step throughput: teacher-forced fwd+bwd+Adam on the
     flagship config (SURVEY §3.2 hot loop (a)). Reports steps/sec and
@@ -320,6 +322,10 @@ def run_train_bench(
         state = train_step(state, batch, jax.random.fold_in(key, i))
     jax.block_until_ready(state.params)
     per_step = (time.perf_counter() - t0) / steps
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            state = train_step(state, batch, jax.random.fold_in(key, 999))
+            jax.block_until_ready(state.params)
     import jax as _j
 
     return dict(
@@ -347,6 +353,8 @@ def main():
     )
     p.add_argument("--decode", choices=["auto", "fused", "xla"], default="auto",
                    help="force the decode implementation (profiling)")
+    p.add_argument("--mxu-attend", action="store_true",
+                   help="fused kernel: block-diagonal MXU attend formulation")
     p.add_argument("--measure-cpu-baseline", action="store_true",
                    help="force CPU and report (for updating the baseline constant)")
     p.add_argument("--ab", choices=["fused-vs-xla", "mxu"], default=None,
@@ -378,7 +386,7 @@ def main():
     if args.train:
         result = run_train_bench(
             args.batch_size, args.train_frames, args.source_length,
-            steps=args.train_steps,
+            steps=args.train_steps, profile_dir=args.profile_dir,
         )
         print(
             f"[bench] train device={result['device']} batch={result['batch_size']} "
@@ -407,6 +415,7 @@ def main():
         compute_dtype="float32" if args.measure_cpu_baseline else "bfloat16",
         profile_dir=args.profile_dir,
         decode=args.decode,
+        mxu_attend=args.mxu_attend,
     )
     print(
         f"[bench] device={result['device']} batch={result['batch_size']} "

@@ -29,6 +29,7 @@ def main():
     p.add_argument("--selected-list-dir", default=None)
     p.add_argument("--test-list-filename", default="test")
     p.add_argument("--hparams", default="")
+    p.add_argument("--hparam-json-file", default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument(
         "--write-wav",
@@ -59,6 +60,8 @@ def main():
     from self_attention_tacotron_tpu.training.trainer import Trainer
 
     hparams = default_hparams()
+    if args.hparam_json_file:
+        hparams.override_from_json_file(args.hparam_json_file)
     hparams.parse(args.hparams)
     if hparams.use_forced_alignment_mode and not hparams.attention.startswith(
         "teacher_forcing"

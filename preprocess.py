@@ -21,6 +21,7 @@ def main():
     p.add_argument("in_dir")
     p.add_argument("out_dir")
     p.add_argument("--hparams", default="")
+    p.add_argument("--hparam-json-file", default=None)
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument(
         "--write-selected-lists",
@@ -37,6 +38,8 @@ def main():
     from self_attention_tacotron_tpu.hparams import default_hparams
 
     hparams = default_hparams()
+    if args.hparam_json_file:
+        hparams.override_from_json_file(args.hparam_json_file)
     hparams.parse(args.hparams)
     cls = dataset_factory(args.dataset)
     pre = cls(args.in_dir, args.out_dir, hparams)
