@@ -111,6 +111,14 @@ def main() -> int:
         ("speaker_f32",
          _case_hparams(use_speaker_embedding=True, num_speakers=4,
                        speaker_embedding_dim=16, compute_dtype="float32")),
+        # BASELINE config 1 path: single source, no decoder SA
+        ("extended_decoder_f32",
+         _case_hparams(tacotron_model="ExtendedTacotronV1Model",
+                       encoder="EncoderV1", decoder="ExtendedDecoder",
+                       compute_dtype="float32")),
+        # dual source without decoder SA
+        ("dual_source_decoder_f32",
+         _case_hparams(decoder="DualSourceDecoder", compute_dtype="float32")),
     ]
     results = [run_case(name, hp) for name, hp in cases]
     all_ok = all(r["ok"] for r in results)

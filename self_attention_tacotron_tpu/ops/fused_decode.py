@@ -23,8 +23,10 @@ In-kernel structure per decoder step t:
     (B·S, U)×(U, 1) MXU matmuls; contexts as batched matvecs)
   → 2 residual ZoneoutLSTMs
   → causal self-attention with K/V caches resident in VMEM scratch
-    ((T, B, D) layout; direct per-step append, two chunked static-slice
-    passes: logits then weighted values)
+    ((T, B, D) layout; direct per-step append, two chunked passes —
+    logits then weighted values — over only the ceil((t+1)/CH) chunks
+    covering the live prefix (dynamic fori_loop bound; the full-cache
+    static version measured 26.8 of 44.7 µs/step)
   → fused output projection (frames ‖ stop logits)
   → per-lane stop tracking; frame/stop/alignment rows DMA'd to HBM via a
     2-slot ring that overlaps the copies with the next step's compute.
@@ -48,21 +50,38 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
+_FUSED_DECODERS = {
+    # decoder name → (dual_source, use_self_attention)
+    "ExtendedDecoder": (False, False),
+    "SelfAttentionDecoder": (False, True),
+    "DualSourceDecoder": (True, False),
+    "DualSourceSelfAttentionDecoder": (True, True),
+}
+
+
 def supports_fused_decode(hp) -> bool:
-    """The configurations the kernel specializes: the flagship
-    DualSourceSelfAttention decode, with or without speaker-embedding
-    conditioning (VCTK config — the embedding is a per-utterance vector
-    concatenated to the prenet output, passed as one extra operand).
+    """The configurations the kernel specializes: all four mel decoder
+    classes (single/dual source × with/without decoder self-attention) via
+    the ``dual``/``use_sa`` kernel flags, with forward attention (± the
+    transition agent) on source 1, additive attention on source 2 when
+    dual, and optional speaker-embedding conditioning (VCTK config — the
+    embedding is a per-utterance vector concatenated to the prenet output,
+    passed as one extra operand). This covers every `configs/` BASELINE
+    setup, including #1 (ExtendedDecoder).
 
     Anything else (MgcLf0 heads, location-sensitive/teacher-forcing
     attention, multi-hop decoder SA, forced alignment) falls back to the
     generic XLA loop.
     """
+    if hp.decoder not in _FUSED_DECODERS:
+        return False
+    dual, use_sa = _FUSED_DECODERS[hp.decoder]
+    if dual and hp.attention2 != "additive":
+        return False
+    if use_sa and hp.decoder_self_attention_num_hop != 1:
+        return False
     return (
-        hp.decoder == "DualSourceSelfAttentionDecoder"
-        and hp.attention in ("forward", "forward_transition_agent")
-        and hp.attention2 == "additive"
-        and hp.decoder_self_attention_num_hop == 1
+        hp.attention in ("forward", "forward_transition_agent")
         and hp.n_feed_frame == 1
         and len(hp.decoder_prenet_out_units) == 2
         and not hp.use_forced_alignment_mode
@@ -135,10 +154,13 @@ def _make_kernel(cfg: Dict[str, Any]):
     ablate = cfg.get("ablate", "none")  # profiling: none|sa|srcattn|prenet
     mxu_attend = cfg.get("mxu_attend", False)
     use_ta = cfg.get("use_transition_agent", False)
+    dual = cfg.get("dual", True)        # dual-source attention (else single)
+    use_sa = cfg.get("use_sa", True)    # decoder self-attention block
+    n_src = 2 if dual else 1
     out_width = R * M + R
     # DMA'd row slices need 128-aligned trailing dims (Mosaic tiling)
     out_pad = ((out_width + 127) // 128) * 128
-    align_pad = ((2 * S + 127) // 128) * 128
+    align_pad = ((n_src * S + 127) // 128) * 128
 
     SPK = cfg.get("spk_dim", 0)           # speaker-embedding dim (0 = off)
     real_B = cfg.get("real_batch", B)     # lanes beyond this are padding
@@ -177,6 +199,7 @@ def _make_kernel(cfg: Dict[str, Any]):
         # ---- scratch ----
         kcache,            # (n_pad, B, SA) VMEM — K cache resident on-chip
         vcache,            # (n_pad, B, SA) VMEM — V cache resident on-chip
+        sa_buf,            # (n_pad, B·H) f32 — SA logits→probs staging
         row_f32,           # (2, B, out_pad) f32 — 2-slot DMA ring
         align_row,         # (2, B, align_pad) f32 — 2-slot DMA ring
         out_sem, align_sem,  # DMA((2,)) each
@@ -217,17 +240,20 @@ def _make_kernel(cfg: Dict[str, Any]):
             # speaker conditioning (VCTK): per-utterance embedding concat
             # after the prenet, exactly as Decoder.step does
             spk = [spk_ref[:].astype(jnp.float32)] if SPK else []
+            ctx2_in = [ctx2] if dual else []
             att_in = jnp.concatenate(
-                [x, *spk, ctx1, ctx2, h_att], axis=-1
+                [x, *spk, ctx1, *ctx2_in, h_att], axis=-1
             ).astype(io_dtype)
             c_att, h_att = _lstm_gate(att_in, w_attg_ref, b_attg_ref, c_att, h_att, zc, zo)
             query = h_att  # (B, AU) f32
 
-            # ---------------- dual-source attention ---------------------
+            # -------- source attention (dual fused / single query proj) --
+            # dual: w_qp is the decoder's fused query_projection; single:
+            # it is the mechanism's own query_layer (Decoder.step parity)
             qp = jnp.dot(
                 query.astype(io_dtype), w_qp_ref[:], preferred_element_type=jnp.float32
             )
-            q1, q2 = qp[:, :A1], qp[:, A1:]
+            q1 = qp[:, :A1]
             if ablate == "srcattn":
                 alpha2 = alpha1
                 ctx1 = ctx1 + qp[:, :1] * 0.0
@@ -248,18 +274,39 @@ def _make_kernel(cfg: Dict[str, Any]):
                         + b_ta_ref[:].astype(jnp.float32)
                     )
 
-                e2 = _score_matmul(keys2_ref, q2, v2_ref) + score_bias_ref[:]
-                alpha2 = jax.nn.softmax(e2, axis=-1)
-                ctx2 = _context(alpha2, mem2_ref)
+                if dual:
+                    q2 = qp[:, A1:]
+                    e2 = _score_matmul(keys2_ref, q2, v2_ref) + score_bias_ref[:]
+                    alpha2 = jax.nn.softmax(e2, axis=-1)
+                    ctx2 = _context(alpha2, mem2_ref)
+                else:
+                    alpha2 = alpha1
 
             # ---------------- decoder LSTM stack (residual) -------------
-            din = jnp.concatenate([query, ctx1, ctx2, h1], axis=-1).astype(io_dtype)
+            din = jnp.concatenate(
+                [query, ctx1, *([ctx2] if dual else []), h1], axis=-1
+            ).astype(io_dtype)
             c1, h1 = _lstm_gate(din, w_l1_ref, b_l1_ref, c1, h1, zc, zo)
             din2 = jnp.concatenate([h1, h2], axis=-1).astype(io_dtype)
             c2, h2 = _lstm_gate(din2, w_l2_ref, b_l2_ref, c2, h2, zc, zo)
             feature = h2 + h1  # residual (B, DU) f32
 
             # ---------------- decoder self-attention --------------------
+            if not use_sa:
+                sa_out = feature  # ExtendedDecoder/DualSourceDecoder: no SA
+            else:
+                sa_out = _sa_block(feature, t)
+            # ---------------- output projection --------------------------
+            out = jnp.dot(
+                sa_out.astype(io_dtype), w_out_ref[:], preferred_element_type=jnp.float32
+            ) + b_out_ref[:].astype(jnp.float32)
+            return _finish_step(
+                t, out, alpha1, alpha2,
+                c_att, h_att, c1, h1, c2, h2, u_ta, ctx1, ctx2,
+                finished, lengths,
+            )
+
+        def _sa_block(feature, t):
             xs = jnp.dot(
                 feature.astype(io_dtype),
                 w_inproj_ref[:],
@@ -279,65 +326,84 @@ def _make_kernel(cfg: Dict[str, Any]):
             vcache[t] = qkv[:, 2 * SA :].astype(io_dtype)
 
             # N = B·H "lanes"; cache rows reshape to (CH, N, HD) contiguously.
-            # No batched dot_general in Mosaic. Logits kept (C_total, N):
-            # chunk results land as contiguous row blocks (no transposes),
-            # softmax reduces over sublanes, and the value pass consumes the
-            # same layout. The K pass contracts over HD — the LANE axis,
-            # which is slow as a VPU reduction — so by default it runs as a
-            # block-diagonal MXU matmul instead: Qblock (N·HD, N) has q[n]
-            # on block-diagonal rows, and (CH, N·HD) @ Qblock = logits.
+            # No batched dot_general in Mosaic. Logits land in the sa_buf
+            # VMEM scratch as (C_total, N): chunk results are contiguous row
+            # blocks (no transposes), softmax reduces over sublanes, and the
+            # value pass consumes the same layout. Only the ceil((t+1)/CH)
+            # chunks that cover positions ≤ t are processed — a dynamic
+            # fori_loop bound; the static alternative touches the FULL
+            # padded cache every step and measured 26.8 of the 44.7 µs/step
+            # kernel total (scripts/profile_kernel_ablate.py, v5e). The K
+            # pass contracts over HD — the LANE axis, slow as a VPU
+            # reduction — so optionally it runs as a block-diagonal MXU
+            # matmul instead: Qblock (N·HD, N) has q[n] on block-diagonal
+            # rows, and (CH, N·HD) @ Qblock = logits (measured no better).
             N = B * H
             qh = (q_sa.reshape(N, HD) / np.sqrt(HD)).astype(jnp.float32)
+            n_need = t // CH + 1  # chunks covering positions 0..t
 
             if ablate == "sa":
                 attn = qh
             else:
-                attn = None
-            if mxu_attend and ablate != "sa":
-                rows = jax.lax.broadcasted_iota(jnp.int32, (N * HD, N), 0)
-                cols = jax.lax.broadcasted_iota(jnp.int32, (N * HD, N), 1)
-                # row r of the tiled matrix is qᵀ[r mod HD]; masking the
-                # block diagonal leaves q[n] in rows n·HD..(n+1)·HD of col n
-                tiled = jnp.broadcast_to(qh.T[None], (N, HD, N)).reshape(N * HD, N)
-                qblock = jnp.where(rows // HD == cols, tiled, 0.0).astype(io_dtype)
-            # pass A: logits over the on-chip cache, chunked static slices
-            chunk_logits = []
-            for c in range(n_chunks if ablate != "sa" else 0):
                 if mxu_attend:
-                    kc2d = kcache[c * CH : (c + 1) * CH].reshape(CH, N * HD)
-                    chunk_logits.append(
-                        jnp.dot(kc2d, qblock, preferred_element_type=jnp.float32)
+                    rows = jax.lax.broadcasted_iota(jnp.int32, (N * HD, N), 0)
+                    cols = jax.lax.broadcasted_iota(jnp.int32, (N * HD, N), 1)
+                    # row r of the tiled matrix is qᵀ[r mod HD]; masking the
+                    # block diagonal leaves q[n] in rows n·HD..(n+1)·HD of col n
+                    tiled = jnp.broadcast_to(qh.T[None], (N, HD, N)).reshape(
+                        N * HD, N
                     )
-                else:
-                    kc = kcache[c * CH : (c + 1) * CH].reshape(CH, N, HD).astype(
-                        jnp.float32
+                    qblock = jnp.where(rows // HD == cols, tiled, 0.0).astype(
+                        io_dtype
                     )
-                    chunk_logits.append(jnp.sum(qh[None, :, :] * kc, axis=-1))
-            if ablate != "sa":
-                logits = (
-                    jnp.concatenate(chunk_logits, axis=0)
-                    if n_chunks > 1
-                    else chunk_logits[0]
-                )
+
+                # pass A: logits over the live prefix of the on-chip cache
+                def logits_chunk(c, _):
+                    if mxu_attend:
+                        kc2d = kcache[pl.ds(c * CH, CH)].reshape(CH, N * HD)
+                        chunk = jnp.dot(
+                            kc2d, qblock, preferred_element_type=jnp.float32
+                        )
+                    else:
+                        kc = (
+                            kcache[pl.ds(c * CH, CH)]
+                            .reshape(CH, N, HD)
+                            .astype(jnp.float32)
+                        )
+                        chunk = jnp.sum(qh[None, :, :] * kc, axis=-1)
+                    sa_buf[pl.ds(c * CH, CH)] = chunk
+                    return 0
+
+                jax.lax.fori_loop(0, n_need, logits_chunk, 0)
+                # rows beyond t hold stale/uninitialized data; the position
+                # mask replaces them with NEG_INF before the softmax
+                logits = sa_buf[:]
                 pos = jax.lax.broadcasted_iota(jnp.int32, (n_chunks * CH, N), 0)
                 logits = jnp.where(pos <= t, logits, NEG_INF)
                 lmax = jnp.max(logits, axis=0, keepdims=True)
                 lexp = jnp.exp(logits - lmax)
                 probs = lexp / jnp.sum(lexp, axis=0, keepdims=True)   # (C, N)
-            else:
-                probs = None
+                sa_buf[:] = probs  # reuse the scratch for the value pass
 
-            # pass B: weighted V accumulation over the on-chip cache
-            if ablate != "sa":
-                attn = jnp.zeros((N, HD), jnp.float32)
-            for c in range(n_chunks if ablate != "sa" else 0):
-                vc = vcache[c * CH : (c + 1) * CH].reshape(CH, N, HD).astype(
-                    jnp.float32
+                # pass B: weighted V accumulation over the same live prefix
+                def value_chunk(c, acc):
+                    vc = (
+                        vcache[pl.ds(c * CH, CH)]
+                        .reshape(CH, N, HD)
+                        .astype(jnp.float32)
+                    )
+                    cpos = (
+                        jax.lax.broadcasted_iota(jnp.int32, (CH, N, 1), 0) + c * CH
+                    )
+                    # probs are exactly 0 past t, but stale cache rows can be
+                    # non-finite; 0 × NaN = NaN, so mask the values too
+                    vc = jnp.where(cpos <= t, vc, 0.0)
+                    pc = sa_buf[pl.ds(c * CH, CH)]
+                    return acc + jnp.sum(pc[:, :, None] * vc, axis=0)
+
+                attn = jax.lax.fori_loop(
+                    0, n_need, value_chunk, jnp.zeros((N, HD), jnp.float32)
                 )
-                cpos = jax.lax.broadcasted_iota(jnp.int32, (CH, N, 1), 0) + c * CH
-                vc = jnp.where(cpos <= t, vc, 0.0)  # mask uninitialized tail
-                pc = probs[c * CH : (c + 1) * CH]   # static slice
-                attn = attn + jnp.sum(pc[:, :, None] * vc, axis=0)
             attn_out = jnp.dot(
                 attn.reshape(B, H * HD).astype(io_dtype),
                 w_saout_ref[:],
@@ -357,12 +423,13 @@ def _make_kernel(cfg: Dict[str, Any]):
             f2 = jnp.dot(
                 f1.astype(io_dtype), w_ffn2_ref[:], preferred_element_type=jnp.float32
             ) + b_ffn2_ref[:].astype(jnp.float32)
-            sa_out = xs + f2
+            return xs + f2
 
-            # ---------------- output projection --------------------------
-            out = jnp.dot(
-                sa_out.astype(io_dtype), w_out_ref[:], preferred_element_type=jnp.float32
-            ) + b_out_ref[:].astype(jnp.float32)
+        def _finish_step(
+            t, out, alpha1, alpha2,
+            c_att, h_att, c1, h1, c2, h2, u_ta, ctx1, ctx2,
+            finished, lengths,
+        ):
             # 2-slot DMA ring: wait for the DMA issued two steps ago on this
             # slot, then reuse its buffer — output copies overlap compute.
             slot = jax.lax.rem(t, 2)
@@ -386,8 +453,8 @@ def _make_kernel(cfg: Dict[str, Any]):
             ).start()
 
             align_row[slot] = jnp.pad(
-                jnp.concatenate([alpha1, alpha2], axis=-1),
-                ((0, 0), (0, align_pad - 2 * S)),
+                jnp.concatenate([alpha1, alpha2], axis=-1) if dual else alpha1,
+                ((0, 0), (0, align_pad - n_src * S)),
             )
             pltpu.make_async_copy(
                 align_row.at[pl.ds(slot, 1)],
@@ -482,10 +549,14 @@ def _run_fused(operands: Tuple, cfg_key: Tuple) -> Tuple:
     SA = cfg["sa_units"]
     out_width = cfg["r"] * cfg["num_mels"] + cfg["r"]
     out_pad = ((out_width + 127) // 128) * 128
-    align_pad = ((2 * S + 127) // 128) * 128
     io_dtype = jnp.bfloat16 if cfg["io_dtype"] == "bfloat16" else jnp.float32
     CH = cfg["cache_chunk"]
-
+    n_src = 2 if cfg.get("dual", True) else 1
+    align_pad = ((n_src * S + 127) // 128) * 128
+    # SA K/V + logits scratch: minimal placeholders when the config has no
+    # decoder self-attention (Mosaic requires the refs to exist; unread)
+    n_pad = ((T + CH - 1) // CH) * CH if cfg.get("use_sa", True) else 8
+    sa_b = B if cfg.get("use_sa", True) else 8
     n_inputs = len(operands)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -499,8 +570,9 @@ def _run_fused(operands: Tuple, cfg_key: Tuple) -> Tuple:
             pl.BlockSpec(memory_space=pltpu.VMEM),  # steps
         ),
         scratch_shapes=[
-            pltpu.VMEM((((T + CH - 1) // CH) * CH, B, SA), io_dtype),
-            pltpu.VMEM((((T + CH - 1) // CH) * CH, B, SA), io_dtype),
+            pltpu.VMEM((n_pad, sa_b, SA), io_dtype),
+            pltpu.VMEM((n_pad, sa_b, SA), io_dtype),
+            pltpu.VMEM((n_pad, sa_b * cfg["sa_heads"]), jnp.float32),
             pltpu.VMEM((2, B, out_pad), jnp.float32),
             pltpu.VMEM((2, B, align_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -552,6 +624,7 @@ def fused_decode(
     interpret: bool = False,
     ablate: str = "none",
     mxu_attend: bool = False,
+    cache_chunk: int = 64,
 ):
     """Run the fused whole-loop decode; returns the DecodeResult fields.
 
@@ -598,7 +671,10 @@ def fused_decode(
 
     spk = cond.speaker_embed
     spk_dim = 0 if spk is None else int(spk.shape[-1])
+    dual, use_sa = _FUSED_DECODERS[hp.decoder]
     cfg = dict(
+        dual=dual,
+        use_sa=use_sa,
         batch=batch,
         real_batch=real_batch,
         spk_dim=spk_dim,
@@ -614,8 +690,11 @@ def fused_decode(
         sa_units=hp.decoder_self_attention_out_units,
         sa_heads=hp.decoder_self_attention_num_heads,
         mem1_dim=cond.memories[0].shape[2],
-        mem2_dim=cond.memories[1].shape[2],
-        cache_chunk=128,
+        mem2_dim=cond.memories[1].shape[2] if dual else 8,
+        # SA cache pass granularity: avg work/step ≈ (t + CH/2); smaller
+        # chunks track the live prefix tighter at slightly more loop
+        # overhead (CH=64 measured best at the bench shapes — BASELINE.md)
+        cache_chunk=cache_chunk,
         zoneout_cell=hp.zoneout_factor_cell,
         zoneout_output=hp.zoneout_factor_output,
         prenet_drop_rate=hp.decoder_prenet_drop_rate,
@@ -630,37 +709,65 @@ def fused_decode(
         mxu_attend=mxu_attend,
     )
 
-    sa = p["self_attention"]
-    blk = sa["block_0"]
+    # dual: the decoder's fused query_projection covers both mechanisms;
+    # single: the one mechanism's own query_layer plays the same role
+    # (Decoder.step applies it inside the mechanism when sources == 1)
+    if dual:
+        w_qp = w(p["query_projection"]["kernel"])
+        keys2 = w(cond.keys[1])
+        mem2 = w(cond.memories[1])
+        v2 = jnp.asarray(
+            variables["params"]["attention_1"]["attention_v"], jnp.float32
+        )
+    else:
+        w_qp = w(variables["params"]["attention_0"]["query_layer"]["kernel"])
+        keys2 = jnp.zeros((8, 8, 128), bf)   # placeholders, never read
+        mem2 = jnp.zeros((8, 8, 128), bf)
+        v2 = jnp.zeros((8, 1), jnp.float32)
+
+    if use_sa:
+        sa = p["self_attention"]
+        blk = sa["block_0"]
+        sa_ops = (
+            w(sa["in_proj"]["kernel"]), w(sa["in_proj"]["bias"]),
+            jnp.asarray(blk["ln1"]["scale"], jnp.float32),
+            jnp.asarray(blk["ln1"]["bias"], jnp.float32),
+            jnp.asarray(blk["ln2"]["scale"], jnp.float32),
+            jnp.asarray(blk["ln2"]["bias"], jnp.float32),
+            w(blk["mha"]["qkv"]["kernel"]),
+            w(blk["mha"]["out"]["kernel"]), w(blk["mha"]["out"]["bias"]),
+            w(blk["ffn1"]["kernel"]), w(blk["ffn1"]["bias"]),
+            w(blk["ffn2"]["kernel"]), w(blk["ffn2"]["bias"]),
+        )
+        pe_ops = (
+            jnp.asarray(pe_rate).reshape(1, sa_dim),
+            jnp.asarray(pe_even).reshape(1, sa_dim),
+        )
+    else:
+        z1, z2 = jnp.zeros((128,), jnp.float32), jnp.zeros((8, 128), bf)
+        sa_ops = (z2, z1, z1, z1, z1, z1, z2, z2, z1, z2, z1, z2, z1)
+        pe_ops = (jnp.zeros((1, 128), jnp.float32),) * 2
+
     operands = (
         jnp.asarray(seed, jnp.int32).reshape(1),
         jnp.zeros((batch, hp.num_mels), bf),               # go frame
         (w(spk) if spk_dim else jnp.zeros((batch, 1), bf)),  # speaker embed
         score_bias,
-        w(cond.keys[0]), w(cond.keys[1]),
-        w(cond.memories[0]), w(cond.memories[1]),
+        w(cond.keys[0]), keys2,
+        w(cond.memories[0]), mem2,
         w(p["prenet"]["Dense_0"]["kernel"]), w(p["prenet"]["Dense_0"]["bias"]),
         w(p["prenet"]["Dense_1"]["kernel"]), w(p["prenet"]["Dense_1"]["bias"]),
         w(p["attention_lstm"]["gates"]["kernel"]), w(p["attention_lstm"]["gates"]["bias"]),
-        w(p["query_projection"]["kernel"]),
+        w_qp,
         # the mechanisms are adopted at network level (flax first-adoption)
         jnp.asarray(variables["params"]["attention_0"]["attention_v"], jnp.float32),
-        jnp.asarray(variables["params"]["attention_1"]["attention_v"], jnp.float32),
+        v2,
         *_ta_operands(variables, cond, hp, w),
         w(p["decoder_lstm_0"]["gates"]["kernel"]), w(p["decoder_lstm_0"]["gates"]["bias"]),
         w(p["decoder_lstm_1"]["gates"]["kernel"]), w(p["decoder_lstm_1"]["gates"]["bias"]),
-        w(sa["in_proj"]["kernel"]), w(sa["in_proj"]["bias"]),
-        jnp.asarray(blk["ln1"]["scale"], jnp.float32),
-        jnp.asarray(blk["ln1"]["bias"], jnp.float32),
-        jnp.asarray(blk["ln2"]["scale"], jnp.float32),
-        jnp.asarray(blk["ln2"]["bias"], jnp.float32),
-        w(blk["mha"]["qkv"]["kernel"]),
-        w(blk["mha"]["out"]["kernel"]), w(blk["mha"]["out"]["bias"]),
-        w(blk["ffn1"]["kernel"]), w(blk["ffn1"]["bias"]),
-        w(blk["ffn2"]["kernel"]), w(blk["ffn2"]["bias"]),
+        *sa_ops,
         w(p["output_projection"]["kernel"]), w(p["output_projection"]["bias"]),
-        jnp.asarray(pe_rate).reshape(1, sa_dim),
-        jnp.asarray(pe_even).reshape(1, sa_dim),
+        *pe_ops,
     )
     cfg_key = tuple(sorted(cfg.items()))
     out_rows, align_rows, lengths, finished, steps = _run_fused(operands, cfg_key)
@@ -679,8 +786,9 @@ def fused_decode(
         batch = real_batch
 
     r, m = hp.outputs_per_step, hp.num_mels
+    n_src = 2 if dual else 1
     out_rows = out_rows[..., : r * m + r]
-    align_rows = align_rows[..., : 2 * S]
+    align_rows = align_rows[..., : n_src * S]
     out_rows = out_rows.transpose(1, 0, 2)              # (B, T, r·M + r)
     frames = out_rows[..., : r * m].reshape(batch, max_iters * r, m)
     stop = jax.nn.sigmoid(out_rows[..., r * m :]).reshape(batch, max_iters * r)
@@ -689,8 +797,11 @@ def fused_decode(
     # with the XLA path's zero fill (ADVICE r1)
     frame_valid = (jnp.arange(max_iters * r) < num_steps * r)[None, :]
     stop = jnp.where(frame_valid, stop, 0.0)
-    align_rows = align_rows.transpose(1, 0, 2)          # (B, T, 2S)
-    aligns = (align_rows[..., :S], align_rows[..., S:])
+    align_rows = align_rows.transpose(1, 0, 2)          # (B, T, n_src·S)
+    aligns = (
+        (align_rows[..., :S], align_rows[..., S:]) if dual
+        else (align_rows,)
+    )
     return dict(
         frames={"mel": frames},
         stop_probs=stop,

@@ -32,6 +32,11 @@ def test_bench_json_contract():
     assert len(lines) == 1, f"stdout must be exactly one JSON line: {lines}"
     record = json.loads(lines[0])
     assert set(record) == {"metric", "value", "unit", "vs_baseline"}
-    assert record["metric"] == "mel_frames_per_sec_per_chip"
+    # wall-clock metric on CPU; device-time metric when a hardware xplane
+    # was captured (not exercised here — CPU runs skip the capture)
+    assert record["metric"] in (
+        "mel_frames_per_sec_per_chip",
+        "mel_frames_per_sec_per_chip_device_time",
+    )
     assert record["value"] > 0
     assert record["unit"] == "frames/sec"

@@ -110,11 +110,99 @@ def test_supports_fused_decode_gating():
     assert supports_fused_decode(hp)
     hp.use_speaker_embedding = True  # VCTK config is fused-capable now
     assert supports_fused_decode(hp)
+    # all four mel decoder classes are kernel-served (dual/use_sa flags)
+    for decoder in ("ExtendedDecoder", "SelfAttentionDecoder", "DualSourceDecoder"):
+        hp.decoder = decoder
+        assert supports_fused_decode(hp), decoder
+    hp.decoder = "MgcLf0ExtendedDecoder"  # WORLD heads: XLA fallback
+    assert not supports_fused_decode(hp)
+    hp.decoder = "DualSourceSelfAttentionDecoder"
     hp.attention = "location_sensitive"
     assert not supports_fused_decode(hp)
     hp.attention = "forward"
     hp.n_feed_frame = 2
     assert not supports_fused_decode(hp)
+
+
+def _parity_case(hp, model, seed=0, rng_seed=42, batch_extra=None):
+    """Build a tiny batch, run XLA + fused paths, assert close outputs."""
+    net = model.network(is_training=False)
+    B, S = 2, 16
+    source = jnp.asarray(
+        np.random.RandomState(seed).randint(2, hp.num_symbols, (B, S)), jnp.int32
+    )
+    batch = {"source": source, "source_lengths": jnp.array([S, S - 5], jnp.int32)}
+    batch.update(batch_extra or {})
+    rngs = {k: jax.random.PRNGKey(i) for i, k in enumerate(["params", "dropout", "zoneout"])}
+    variables = net.init(
+        rngs, source, batch["source_lengths"], jnp.zeros((B, 4, hp.num_mels)),
+        jnp.full((B,), 4, jnp.int32),
+    )
+    ref = make_predict_fn(model, use_fused=False)(variables, batch, jax.random.PRNGKey(rng_seed))
+    got = make_predict_fn(model, use_fused=True)(variables, batch, jax.random.PRNGKey(rng_seed))
+    np.testing.assert_allclose(
+        np.asarray(got["mel"]), np.asarray(ref["mel"]), atol=2e-3, rtol=1e-3
+    )
+    assert len(got["alignments"]) == len(ref["alignments"])
+    for a, b in zip(got["alignments"], ref["alignments"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+    np.testing.assert_array_equal(
+        np.asarray(got["lengths"]), np.asarray(ref["lengths"])
+    )
+    return got, ref
+
+
+def test_fused_matches_xla_extended_decoder():
+    """BASELINE config 1 (ljspeech_baseline): single-source ExtendedDecoder,
+    no decoder self-attention — the kernel's dual=False, use_sa=False path."""
+    hp = tiny_hparams(
+        tacotron_model="ExtendedTacotronV1Model",
+        encoder="EncoderV1",
+        decoder="ExtendedDecoder",
+        attention="forward",
+        decoder_prenet_drop_rate=0.0,
+        max_iters=6,
+        stop_token_threshold=2.0,
+        compute_dtype="float32",
+    )
+    got, _ = _parity_case(hp, tacotron_model_factory(hp))
+    assert len(got["alignments"]) == 1
+
+
+def test_fused_matches_xla_dual_source_decoder():
+    """DualSourceDecoder: dual attention without decoder self-attention
+    (dual=True, use_sa=False kernel path)."""
+    hp = tiny_hparams(
+        tacotron_model="DualSourceSelfAttentionTacotronModel",
+        encoder="SelfAttentionCBHGEncoder",
+        decoder="DualSourceDecoder",
+        attention="forward",
+        attention2="additive",
+        decoder_prenet_drop_rate=0.0,
+        max_iters=6,
+        stop_token_threshold=2.0,
+        compute_dtype="float32",
+    )
+    got, _ = _parity_case(hp, tacotron_model_factory(hp))
+    assert len(got["alignments"]) == 2
+
+
+def test_fused_matches_xla_self_attention_decoder():
+    """SelfAttentionDecoder: single source + decoder self-attention
+    (dual=False, use_sa=True kernel path)."""
+    from self_attention_tacotron_tpu.models.models import TacotronModelBase
+
+    hp = tiny_hparams(
+        encoder="EncoderV1",
+        decoder="SelfAttentionDecoder",
+        attention="forward",
+        decoder_prenet_drop_rate=0.0,
+        max_iters=6,
+        stop_token_threshold=2.0,
+        compute_dtype="float32",
+    )
+    got, _ = _parity_case(hp, TacotronModelBase(hp))
+    assert len(got["alignments"]) == 1
 
 
 def test_fused_matches_xla_with_speaker_embedding():
