@@ -83,7 +83,10 @@ def main():
 
     def feed(acc, i):
         # (B, 128) f32 -> (B, A1) query-like vector, data-dependent on acc
-        return jnp.pad(acc, ((0, 0), (0, A1 - 128)))[:, :A1] * 1e-3 + i * 1e-6
+        return (
+            jnp.broadcast_to(acc[:, :1], (B, A1)) * 1e-3
+            + i.astype(jnp.float32) * 1e-6
+        )
 
     results = {}
 
@@ -96,7 +99,7 @@ def main():
         (k,) = refs
         q = feed(acc, i)
         t = jnp.tanh(k[:].astype(jnp.float32) + q[:, None, :])
-        return acc + jnp.sum(t, axis=(1, 2), keepdims=False)[:, None] * 1e-6
+        return acc + jnp.sum(t, axis=1)[:, :128] * 1e-6
 
     results["tanh_bf16keys"] = run_case("tanh", tanh_only, [keys])
 
@@ -104,7 +107,7 @@ def main():
         (k,) = refs
         q = feed(acc, i)
         t = jnp.tanh(k[:] + q[:, None, :])
-        return acc + jnp.sum(t, axis=(1, 2))[:, None] * 1e-6
+        return acc + jnp.sum(t, axis=1)[:, :128] * 1e-6
 
     results["tanh_f32keys"] = run_case("tanhf32", tanh_f32keys, [keys_f32])
 
@@ -112,7 +115,7 @@ def main():
         (k,) = refs
         q = feed(acc, i)
         t = k[:].astype(jnp.float32) + q[:, None, :]
-        return acc + jnp.sum(t, axis=(1, 2))[:, None] * 1e-6
+        return acc + jnp.sum(t, axis=1)[:, :128] * 1e-6
 
     results["add_reduce_only"] = run_case("add", add_only, [keys])
 
@@ -124,7 +127,7 @@ def main():
             t.reshape(B * S, A1), vv[:], preferred_element_type=jnp.float32
         ).reshape(B, S)
         a = jax.nn.softmax(e, axis=-1)
-        return acc + jnp.sum(a, axis=-1)[:, None] * 1e-6
+        return acc + a * 1e-6
 
     results["score_softmax"] = run_case("score", full_score, [keys, v])
 

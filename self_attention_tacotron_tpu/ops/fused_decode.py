@@ -19,17 +19,22 @@ In-kernel structure per decoder step t:
   prenet (dropout via the on-core PRNG — same distribution as the
   reference's always-on prenet dropout, different bitstream)
   → attention ZoneoutLSTM → fused dual query projection
-  → forward-attention α recursion + additive attention (scores as
-    (B·S, U)×(U, 1) MXU matmuls; contexts as batched matvecs)
+  → forward-attention α recursion + additive attention (both sources'
+    scores in ONE tanh pass + ONE (B·S, A1+A2)×(A1+A2, 2) matmul against
+    a block-diagonal [v1 | v2]; contexts as broadcast-reduce matvecs)
   → 2 residual ZoneoutLSTMs
   → causal self-attention with K/V caches resident in VMEM scratch
-    ((T, B, D) layout; direct per-step append, two chunked passes —
-    logits then weighted values — over only the ceil((t+1)/CH) chunks
-    covering the live prefix (dynamic fori_loop bound; the full-cache
-    static version measured 26.8 of 44.7 µs/step)
+    ((T, B, D) layout; direct per-step append; ONE flash-style online-
+    softmax pass over only the ceil((t+1)/CH) chunks covering the live
+    prefix — dynamic fori_loop bound; the r1 full-cache two-pass version
+    measured 26.8 of 44.7 µs/step)
   → fused output projection (frames ‖ stop logits)
   → per-lane stop tracking; frame/stop/alignment rows DMA'd to HBM via a
     2-slot ring that overlaps the copies with the next step's compute.
+
+Configuration flags ``dual`` (dual-source attention) and ``use_sa``
+(decoder self-attention) specialize the same kernel to all four mel
+decoder classes (see ``_FUSED_DECODERS``).
 
 The loop is a while_loop that exits as soon as every lane's stop token
 has fired (early exit, with slot-safe draining of in-flight DMAs). All
@@ -109,18 +114,6 @@ def _layer_norm(x, scale, bias):
     ].astype(x.dtype)
 
 
-def _score_matmul(keys, q, v):
-    """Additive attention scores: vᵀ tanh(keys + q) as one MXU matmul.
-
-    keys: (B, S, U) bf16, q: (B, U) f32, v: (U, 1) f32 → (B, S) f32.
-    """
-    b, s, u = keys.shape
-    t = jnp.tanh(keys[:].astype(jnp.float32) + q[:, None, :])
-    return jnp.dot(
-        t.reshape(b * s, u), v[:].astype(jnp.float32), preferred_element_type=jnp.float32
-    ).reshape(b, s)
-
-
 def _context(alpha, memory):
     """(B, S) f32 × (B, S, D) bf16 → (B, D) f32 batched matvec.
 
@@ -171,15 +164,13 @@ def _make_kernel(cfg: Dict[str, Any]):
         feed0_ref,         # (B, M) bf16
         spk_ref,           # (B, max(SPK,1)) bf16 speaker embedding (zeros if off)
         score_bias_ref,    # (B, S) f32: 0 valid / -1e9 padded
-        keys1_ref,         # (B, S, A1) bf16
-        keys2_ref,         # (B, S, A2) bf16
+        keys_ref,          # (B, S, A1[+A2]) bf16 — both sources' keys, concat
         mem1_ref,          # (B, S, E1) bf16
         mem2_ref,          # (B, S, E2) bf16
         w_p1_ref, b_p1_ref, w_p2_ref, b_p2_ref,
         w_attg_ref, b_attg_ref,
-        w_qp_ref,          # (AU, A1+A2)
-        v1_ref,            # (A1, 1) f32
-        v2_ref,            # (A2, 1) f32
+        w_qp_ref,          # (AU, A1[+A2])
+        vblk_ref,          # (A1[+A2], n_src) f32 — block-diagonal [v1 | v2]
         w_ta_ref, b_ta_ref,  # (E1+AU, 1), (1,) — forward-attention TA (zeros if unused)
         w_l1_ref, b_l1_ref, w_l2_ref, b_l2_ref,
         w_inproj_ref, b_inproj_ref,
@@ -199,7 +190,6 @@ def _make_kernel(cfg: Dict[str, Any]):
         # ---- scratch ----
         kcache,            # (n_pad, B, SA) VMEM — K cache resident on-chip
         vcache,            # (n_pad, B, SA) VMEM — V cache resident on-chip
-        sa_buf,            # (n_pad, B·H) f32 — SA logits→probs staging
         row_f32,           # (2, B, out_pad) f32 — 2-slot DMA ring
         align_row,         # (2, B, align_pad) f32 — 2-slot DMA ring
         out_sem, align_sem,  # DMA((2,)) each
@@ -249,17 +239,31 @@ def _make_kernel(cfg: Dict[str, Any]):
 
             # -------- source attention (dual fused / single query proj) --
             # dual: w_qp is the decoder's fused query_projection; single:
-            # it is the mechanism's own query_layer (Decoder.step parity)
+            # it is the mechanism's own query_layer (Decoder.step parity).
+            # Both mechanisms' additive scores compute in ONE tanh pass +
+            # ONE (B·S, A1+A2) @ (A1+A2, 2) matmul over the concatenated
+            # keys with a block-diagonal [v1 | v2] — the score matmul's
+            # single-lane output makes two separate passes 2× the cost
+            # for no extra math (scripts/microbench_vpu.py: the thin
+            # matmul+softmax is ~4 µs vs 0.5 µs for the tanh itself).
             qp = jnp.dot(
                 query.astype(io_dtype), w_qp_ref[:], preferred_element_type=jnp.float32
             )
-            q1 = qp[:, :A1]
             if ablate == "srcattn":
                 alpha2 = alpha1
                 ctx1 = ctx1 + qp[:, :1] * 0.0
                 ctx2 = ctx2
             else:
-                e1 = _score_matmul(keys1_ref, q1, v1_ref) + score_bias_ref[:]
+                a_tot = A1 + A2 if dual else A1
+                tq = jnp.tanh(
+                    keys_ref[:].astype(jnp.float32) + qp[:, None, :]
+                )  # (B, S, A1[+A2])
+                e2d = jnp.dot(
+                    tq.reshape(B * S, a_tot),
+                    vblk_ref[:].astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                )  # (B·S, n_src)
+                e1 = e2d[:, 0:1].reshape(B, S) + score_bias_ref[:]
                 y1 = jax.nn.softmax(e1, axis=-1)
                 shifted = pltpu.roll(alpha1, 1, axis=1)
                 col = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
@@ -275,8 +279,7 @@ def _make_kernel(cfg: Dict[str, Any]):
                     )
 
                 if dual:
-                    q2 = qp[:, A1:]
-                    e2 = _score_matmul(keys2_ref, q2, v2_ref) + score_bias_ref[:]
+                    e2 = e2d[:, 1:2].reshape(B, S) + score_bias_ref[:]
                     alpha2 = jax.nn.softmax(e2, axis=-1)
                     ctx2 = _context(alpha2, mem2_ref)
                 else:
@@ -326,18 +329,19 @@ def _make_kernel(cfg: Dict[str, Any]):
             vcache[t] = qkv[:, 2 * SA :].astype(io_dtype)
 
             # N = B·H "lanes"; cache rows reshape to (CH, N, HD) contiguously.
-            # No batched dot_general in Mosaic. Logits land in the sa_buf
-            # VMEM scratch as (C_total, N): chunk results are contiguous row
-            # blocks (no transposes), softmax reduces over sublanes, and the
-            # value pass consumes the same layout. Only the ceil((t+1)/CH)
-            # chunks that cover positions ≤ t are processed — a dynamic
-            # fori_loop bound; the static alternative touches the FULL
-            # padded cache every step and measured 26.8 of the 44.7 µs/step
-            # kernel total (scripts/profile_kernel_ablate.py, v5e). The K
-            # pass contracts over HD — the LANE axis, slow as a VPU
-            # reduction — so optionally it runs as a block-diagonal MXU
-            # matmul instead: Qblock (N·HD, N) has q[n] on block-diagonal
-            # rows, and (CH, N·HD) @ Qblock = logits (measured no better).
+            # No batched dot_general in Mosaic. ONE flash-style online-
+            # softmax pass over only the ceil((t+1)/CH) chunks covering
+            # positions ≤ t (dynamic fori_loop bound): per chunk, logits →
+            # running max/denominator with rescaling → weighted-V
+            # accumulation. History: the r1 kernel ran two full-cache
+            # passes (26.8 of 44.7 µs/step, scripts/profile_kernel_ablate
+            # .py); live-prefix chunking cut that to ~16 µs, and merging
+            # the passes removes the staged-logits softmax + scratch
+            # roundtrip on top. The K contraction is over HD — the LANE
+            # axis, slow as a VPU reduction — so optionally it runs as a
+            # block-diagonal MXU matmul instead: Qblock (N·HD, N) has q[n]
+            # on block-diagonal rows, and (CH, N·HD) @ Qblock = logits
+            # (measured no better than the VPU reduce).
             N = B * H
             qh = (q_sa.reshape(N, HD) / np.sqrt(HD)).astype(jnp.float32)
             n_need = t // CH + 1  # chunks covering positions 0..t
@@ -357,11 +361,11 @@ def _make_kernel(cfg: Dict[str, Any]):
                         io_dtype
                     )
 
-                # pass A: logits over the live prefix of the on-chip cache
-                def logits_chunk(c, _):
+                def attend_chunk(c, carry):
+                    acc, denom, m_run = carry        # (N,HD), (1,N), (1,N)
                     if mxu_attend:
                         kc2d = kcache[pl.ds(c * CH, CH)].reshape(CH, N * HD)
-                        chunk = jnp.dot(
+                        logit = jnp.dot(
                             kc2d, qblock, preferred_element_type=jnp.float32
                         )
                     else:
@@ -370,40 +374,36 @@ def _make_kernel(cfg: Dict[str, Any]):
                             .reshape(CH, N, HD)
                             .astype(jnp.float32)
                         )
-                        chunk = jnp.sum(qh[None, :, :] * kc, axis=-1)
-                    sa_buf[pl.ds(c * CH, CH)] = chunk
-                    return 0
-
-                jax.lax.fori_loop(0, n_need, logits_chunk, 0)
-                # rows beyond t hold stale/uninitialized data; the position
-                # mask replaces them with NEG_INF before the softmax
-                logits = sa_buf[:]
-                pos = jax.lax.broadcasted_iota(jnp.int32, (n_chunks * CH, N), 0)
-                logits = jnp.where(pos <= t, logits, NEG_INF)
-                lmax = jnp.max(logits, axis=0, keepdims=True)
-                lexp = jnp.exp(logits - lmax)
-                probs = lexp / jnp.sum(lexp, axis=0, keepdims=True)   # (C, N)
-                sa_buf[:] = probs  # reuse the scratch for the value pass
-
-                # pass B: weighted V accumulation over the same live prefix
-                def value_chunk(c, acc):
+                        logit = jnp.sum(qh[None, :, :] * kc, axis=-1)  # (CH, N)
+                    # causal mask within the chunk (stale rows past t)
+                    cpos = jax.lax.broadcasted_iota(jnp.int32, (CH, N), 0) + c * CH
+                    logit = jnp.where(cpos <= t, logit, NEG_INF)
+                    m_new = jnp.maximum(m_run, jnp.max(logit, axis=0, keepdims=True))
+                    scale = jnp.exp(m_run - m_new)   # (1, N)
+                    p = jnp.exp(logit - m_new)       # (CH, N); 0 where masked
                     vc = (
                         vcache[pl.ds(c * CH, CH)]
                         .reshape(CH, N, HD)
                         .astype(jnp.float32)
                     )
-                    cpos = (
-                        jax.lax.broadcasted_iota(jnp.int32, (CH, N, 1), 0) + c * CH
-                    )
-                    # probs are exactly 0 past t, but stale cache rows can be
-                    # non-finite; 0 × NaN = NaN, so mask the values too
-                    vc = jnp.where(cpos <= t, vc, 0.0)
-                    pc = sa_buf[pl.ds(c * CH, CH)]
-                    return acc + jnp.sum(pc[:, :, None] * vc, axis=0)
+                    # p is exactly 0 past t, but stale cache rows can be
+                    # non-finite and 0 × NaN = NaN — mask the values too
+                    vc = jnp.where(cpos[:, :, None] <= t, vc, 0.0)
+                    acc = acc * scale.T + jnp.sum(p[:, :, None] * vc, axis=0)
+                    denom = denom * scale + jnp.sum(p, axis=0, keepdims=True)
+                    return acc, denom, m_new
 
-                attn = jax.lax.fori_loop(
-                    0, n_need, value_chunk, jnp.zeros((N, HD), jnp.float32)
+                acc, denom, _ = jax.lax.fori_loop(
+                    0,
+                    n_need,
+                    attend_chunk,
+                    (
+                        jnp.zeros((N, HD), jnp.float32),
+                        jnp.zeros((1, N), jnp.float32),
+                        jnp.full((1, N), NEG_INF, jnp.float32),
+                    ),
                 )
+                attn = acc / denom.T
             attn_out = jnp.dot(
                 attn.reshape(B, H * HD).astype(io_dtype),
                 w_saout_ref[:],
@@ -572,7 +572,6 @@ def _run_fused(operands: Tuple, cfg_key: Tuple) -> Tuple:
         scratch_shapes=[
             pltpu.VMEM((n_pad, sa_b, SA), io_dtype),
             pltpu.VMEM((n_pad, sa_b, SA), io_dtype),
-            pltpu.VMEM((n_pad, sa_b * cfg["sa_heads"]), jnp.float32),
             pltpu.VMEM((2, B, out_pad), jnp.float32),
             pltpu.VMEM((2, B, align_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -712,18 +711,26 @@ def fused_decode(
     # dual: the decoder's fused query_projection covers both mechanisms;
     # single: the one mechanism's own query_layer plays the same role
     # (Decoder.step applies it inside the mechanism when sources == 1)
+    # both mechanisms' scores run as one matmul over concatenated keys
+    # against a block-diagonal [v1 | v2] (see the kernel's score comment)
+    v1 = jnp.asarray(
+        variables["params"]["attention_0"]["attention_v"], jnp.float32
+    )
     if dual:
         w_qp = w(p["query_projection"]["kernel"])
-        keys2 = w(cond.keys[1])
+        keys_cat = jnp.concatenate([w(cond.keys[0]), w(cond.keys[1])], axis=-1)
         mem2 = w(cond.memories[1])
         v2 = jnp.asarray(
             variables["params"]["attention_1"]["attention_v"], jnp.float32
         )
+        a1, a2 = v1.shape[0], v2.shape[0]
+        vblk = jnp.zeros((a1 + a2, 2), jnp.float32)
+        vblk = vblk.at[:a1, 0:1].set(v1).at[a1:, 1:2].set(v2)
     else:
         w_qp = w(variables["params"]["attention_0"]["query_layer"]["kernel"])
-        keys2 = jnp.zeros((8, 8, 128), bf)   # placeholders, never read
-        mem2 = jnp.zeros((8, 8, 128), bf)
-        v2 = jnp.zeros((8, 1), jnp.float32)
+        keys_cat = w(cond.keys[0])
+        mem2 = jnp.zeros((8, 8, 128), bf)   # placeholder, never read
+        vblk = v1
 
     if use_sa:
         sa = p["self_attention"]
@@ -753,15 +760,14 @@ def fused_decode(
         jnp.zeros((batch, hp.num_mels), bf),               # go frame
         (w(spk) if spk_dim else jnp.zeros((batch, 1), bf)),  # speaker embed
         score_bias,
-        w(cond.keys[0]), keys2,
+        keys_cat,
         w(cond.memories[0]), mem2,
         w(p["prenet"]["Dense_0"]["kernel"]), w(p["prenet"]["Dense_0"]["bias"]),
         w(p["prenet"]["Dense_1"]["kernel"]), w(p["prenet"]["Dense_1"]["bias"]),
         w(p["attention_lstm"]["gates"]["kernel"]), w(p["attention_lstm"]["gates"]["bias"]),
         w_qp,
         # the mechanisms are adopted at network level (flax first-adoption)
-        jnp.asarray(variables["params"]["attention_0"]["attention_v"], jnp.float32),
-        v2,
+        vblk,
         *_ta_operands(variables, cond, hp, w),
         w(p["decoder_lstm_0"]["gates"]["kernel"]), w(p["decoder_lstm_0"]["gates"]["bias"]),
         w(p["decoder_lstm_1"]["gates"]["kernel"]), w(p["decoder_lstm_1"]["gates"]["bias"]),
