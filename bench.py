@@ -343,18 +343,43 @@ def run_train_bench(
     t0 = time.perf_counter()
     for i in range(steps):
         state = train_step(state, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(state.params)
+    # hard host materialization: block_until_ready alone returns early on
+    # this serving transport (measured 2.9 ms/step wall vs 48 ms device —
+    # BASELINE.md), so touch a param leaf before stopping the clock
+    leaf = np.asarray(jax.tree.leaves(state.params)[0])
+    assert np.isfinite(leaf).all()
     per_step = (time.perf_counter() - t0) / steps
+
+    # device-busy time of one step: the load- and transport-independent
+    # number (same protocol as the synthesis bench)
+    device_step_s = None
+    if profile_dir is None and jax.default_backend() != "cpu":
+        profile_dir = "/tmp/bench_train_xplane"
+        import shutil
+
+        shutil.rmtree(profile_dir, ignore_errors=True)
     if profile_dir:
-        with jax.profiler.trace(profile_dir):
-            state = train_step(state, batch, jax.random.fold_in(key, 999))
-            jax.block_until_ready(state.params)
+        try:
+            with jax.profiler.trace(profile_dir):
+                state = train_step(state, batch, jax.random.fold_in(key, 999))
+                jax.block_until_ready(state.params)
+            _ = float(jax.tree.leaves(state.params)[0].sum())
+            from scripts.analyze_xplane import find_xplane, load_hlo_stats
+
+            rows = load_hlo_stats(find_xplane(profile_dir))
+            device_step_s = sum(r["self_us"] or 0.0 for r in rows) / 1e6
+        except (Exception, SystemExit) as e:
+            print(f"[bench] train xplane unavailable ({e!r})", file=sys.stderr)
     import jax as _j
 
     return dict(
         steps_per_sec=1.0 / per_step,
         frames_per_sec=batch_size * target_frames / per_step,
         sec_per_step=per_step,
+        device_sec_per_step=device_step_s,
+        device_frames_per_sec=(
+            batch_size * target_frames / device_step_s if device_step_s else None
+        ),
         compile_seconds=compile_s,
         batch_size=batch_size,
         target_frames=target_frames,
@@ -411,19 +436,27 @@ def main():
             args.batch_size, args.train_frames, args.source_length,
             steps=args.train_steps, profile_dir=args.profile_dir,
         )
+        dev_step = result.get("device_sec_per_step")
         print(
             f"[bench] train device={result['device']} batch={result['batch_size']} "
             f"frames/utt={result['target_frames']} "
-            f"step={result['sec_per_step'] * 1e3:.1f}ms compile={result['compile_seconds']:.1f}s",
+            f"wall-step={result['sec_per_step'] * 1e3:.1f}ms "
+            + (f"device-step={dev_step * 1e3:.1f}ms " if dev_step else "")
+            + f"compile={result['compile_seconds']:.1f}s",
             file=sys.stderr,
         )
+        fps = result.get("device_frames_per_sec") or result["frames_per_sec"]
+        sps = (1.0 / dev_step) if dev_step else result["steps_per_sec"]
         print(
             json.dumps(
                 {
-                    "metric": "train_mel_frames_per_sec_per_chip",
-                    "value": round(result["frames_per_sec"], 1),
+                    "metric": (
+                        "train_mel_frames_per_sec_per_chip_device_time"
+                        if dev_step else "train_mel_frames_per_sec_per_chip"
+                    ),
+                    "value": round(fps, 1),
                     "unit": "frames/sec",
-                    "vs_baseline": round(result["steps_per_sec"], 3),
+                    "vs_baseline": round(sps, 3),
                 }
             )
         )

@@ -193,17 +193,25 @@ class Decoder(nn.Module):
         feed: jnp.ndarray,
         cond: DecoderConditioning,
         prenet_masks=None,
+        zoneout_masks=None,
     ):
         """feed: (B, n_feed_frame · out_dim) previous frame(s) or teacher frames.
 
         ``prenet_masks``: optional precomputed per-layer dropout masks for
         this step (AR-decode fast path; see PreNet docstring).
+        ``zoneout_masks``: optional precomputed per-cell (keep_c, keep_h)
+        boolean masks, ordered (attention_lstm, *decoder_lstms) — the
+        teacher-forced scan draws all steps' masks in one call
+        (ZoneoutLSTMCell docstring).
         """
+        zm = zoneout_masks or (None,) * (1 + len(self.decoder_lstms))
         x = self.prenet(feed.astype(self.dtype), dropout_masks=prenet_masks)
         if cond.speaker_embed is not None:
             x = jnp.concatenate([x, cond.speaker_embed.astype(self.dtype)], axis=-1)
         att_in = jnp.concatenate([x, *state.contexts], axis=-1)
-        new_att_lstm, query = self.attention_lstm(state.attention_lstm, att_in)
+        new_att_lstm, query = self.attention_lstm(
+            state.attention_lstm, att_in, zoneout_masks=zm[0]
+        )
 
         # dual-source: both mechanisms' query projections in ONE matmul
         projected_queries = [None] * len(self.attentions)
@@ -235,8 +243,8 @@ class Decoder(nn.Module):
 
         out = jnp.concatenate([query, *contexts], axis=-1).astype(self.dtype)
         new_dec_states = []
-        for cell, carry in zip(self.decoder_lstms, state.decoder_lstms):
-            new_carry, y = cell(carry, out)
+        for i, (cell, carry) in enumerate(zip(self.decoder_lstms, state.decoder_lstms)):
+            new_carry, y = cell(carry, out, zoneout_masks=zm[1 + i])
             new_dec_states.append(new_carry)
             out = y + out if y.shape == out.shape else y  # residual when dims match
 
@@ -318,21 +326,61 @@ class Decoder(nn.Module):
 
         Returns ({head: frames}, stop_logits (B, T), alignments tuple
         [(B, N, S_i) per source], sa_alignments).
+
+        All stochastic masks (prenet dropout, zoneout) are drawn in ONE
+        vectorized call per kind and fed to the scan as per-step inputs:
+        sampling threefry inside the scan body cost 8.9 ms of the 48.6 ms
+        training step (scripts/profile_train_ablate.py; same distribution,
+        different bitstream).
         """
         feeds = self.make_teacher_feeds(targets)
         state = self.initial_state(cond)
+        b, n = feeds.shape[:2]
 
-        def body(mdl, carry, feed):
-            return mdl.step(carry, feed, cond)
+        prenet_masks = None
+        if self.prenet_drop_rate > 0.0:
+            keep = 1.0 - self.prenet_drop_rate
+            pkeys = jax.random.split(
+                self.make_rng("dropout"), len(self.prenet_out_units)
+            )
+            prenet_masks = tuple(
+                jax.random.bernoulli(k, keep, (b, n, units))
+                for k, units in zip(pkeys, self.prenet_out_units)
+            )
+
+        zoneout_masks = None
+        zc, zo = self.zoneout_factor_cell, self.zoneout_factor_output
+        if self.is_training and (zc > 0.0 or zo > 0.0):
+            cells_units = [self.attention_rnn_out_units] + [
+                self.decoder_out_units
+            ] * len(self.decoder_lstms)
+            zkeys = jax.random.split(self.make_rng("zoneout"), 2 * len(cells_units))
+            zoneout_masks = tuple(
+                (
+                    jax.random.bernoulli(zkeys[2 * i], zc, (b, n, units))
+                    if zc > 0.0 else None,
+                    jax.random.bernoulli(zkeys[2 * i + 1], zo, (b, n, units))
+                    if zo > 0.0 else None,
+                )
+                for i, units in enumerate(cells_units)
+            )
+
+        def body(mdl, carry, xs):
+            feed, pmasks, zmasks = xs
+            return mdl.step(
+                carry, feed, cond, prenet_masks=pmasks, zoneout_masks=zmasks
+            )
 
         scan = nn.scan(
             body,
             variable_broadcast=["params", "batch_stats"],
-            split_rngs={"params": False, "dropout": True, "zoneout": True},
+            split_rngs={"params": False},
             in_axes=1,
             out_axes=1,
         )
-        _, (features, aligns) = scan(self, state, feeds)
+        _, (features, aligns) = scan(
+            self, state, (feeds, prenet_masks, zoneout_masks)
+        )
         frames, stop, sa_aligns = self.post(features)
         return frames, stop, aligns, sa_aligns
 

@@ -184,7 +184,18 @@ class ZoneoutLSTMCell(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, carry: LSTMCarry, x: jnp.ndarray):
+    def __call__(
+        self,
+        carry: LSTMCarry,
+        x: jnp.ndarray,
+        zoneout_masks: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    ):
+        """``zoneout_masks``: optional precomputed (keep_old_c, keep_old_h)
+        boolean masks for this step. Sampling threefry bits inside an
+        ``nn.scan`` costs ~16 µs/decoder-step on the training path
+        (scripts/profile_train_ablate.py); callers that scan this cell
+        should draw every step's masks in ONE vectorized call and pass
+        them as scanned inputs (same Bernoulli(factor) distribution)."""
         c, h = carry
         zx = nn.Dense(4 * self.num_units, dtype=self.dtype, name="gates")(
             jnp.concatenate([x, h], axis=-1)
@@ -193,18 +204,23 @@ class ZoneoutLSTMCell(nn.Module):
         new_c = nn.sigmoid(f + self.forget_bias) * c + nn.sigmoid(i) * jnp.tanh(g)
         new_h = nn.sigmoid(o) * jnp.tanh(new_c)
 
-        def zoneout(new, old, factor, rng_name):
+        def zoneout(new, old, factor, rng_name, mask):
             if factor <= 0.0:
                 return new
             if self.is_training:
-                keep_old = jax.random.bernoulli(
-                    self.make_rng(rng_name), factor, new.shape
+                keep_old = (
+                    mask
+                    if mask is not None
+                    else jax.random.bernoulli(
+                        self.make_rng(rng_name), factor, new.shape
+                    )
                 )
                 return jnp.where(keep_old, old, new)
             return factor * old + (1.0 - factor) * new
 
-        out_c = zoneout(new_c, c, self.zoneout_factor_cell, "zoneout")
-        out_h = zoneout(new_h, h, self.zoneout_factor_output, "zoneout")
+        mc, mh = zoneout_masks if zoneout_masks is not None else (None, None)
+        out_c = zoneout(new_c, c, self.zoneout_factor_cell, "zoneout", mc)
+        out_h = zoneout(new_h, h, self.zoneout_factor_output, "zoneout", mh)
         return (out_c, out_h), out_h
 
     @staticmethod
