@@ -92,6 +92,7 @@ class Decoder(nn.Module):
     self_attention_drop_rate: float = 0.05
     self_attention_ffn_units: int = 1024
     is_training: bool = True
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @property
@@ -302,6 +303,133 @@ class Decoder(nn.Module):
         return frames, stop, caches
 
     # ------------------------------------------------------------------ #
+    # Fused teacher-forced scan (ops/fused_teacher.py fast path)
+    # ------------------------------------------------------------------ #
+
+    def _fused_teacher_supported(self, cond: DecoderConditioning) -> bool:
+        """Training-mode Pallas fast path for the scanned region.
+
+        Gated to the AR kernel's configuration family (forward attention
+        ± TA on source 1, additive on source 2, 2-layer prenet, 2
+        decoder LSTMs). Eval stays on the XLA scan: the kernel implements
+        train-mode binary zoneout, not the eval interpolation.
+        """
+        from self_attention_tacotron_tpu.models.attention import (
+            AdditiveAttention,
+            ForwardAttention,
+        )
+        from self_attention_tacotron_tpu.ops import fused_teacher
+
+        if not (self.use_pallas and self.is_training):
+            return False
+        if self.is_initializing():
+            return False
+        if jax.default_backend() == "cpu" and not fused_teacher.FORCE_INTERPRET:
+            return False
+        mechs = self.attention_mechs
+        if len(mechs) not in (1, 2):
+            return False
+        if not isinstance(mechs[0], ForwardAttention):
+            return False
+        if len(mechs) == 2 and not isinstance(mechs[1], AdditiveAttention):
+            return False
+        if cond.memories[0].shape[0] < 8:
+            # Mosaic reductions misbehave below the f32 sublane tile; the
+            # AR kernel pads small batches but training batches are large
+            return False
+        return (
+            len(self.prenet_out_units) == 2
+            and self.num_decoder_layers == 2
+            and self.n_feed_frame >= 1
+        )
+
+    def _fused_teacher_call(self, cond: DecoderConditioning, feeds):
+        from self_attention_tacotron_tpu.ops import fused_teacher
+
+        p = self.variables["params"]
+        mechs = self.attentions
+        dual = len(mechs) == 2
+        m0 = mechs[0].variables["params"]
+        v1 = jnp.asarray(m0["attention_v"], jnp.float32)
+        if dual:
+            m1 = mechs[1].variables["params"]
+            v2 = jnp.asarray(m1["attention_v"], jnp.float32)
+            a1, a2 = v1.shape[0], v2.shape[0]
+            vblk = jnp.zeros((a1 + a2, 2), jnp.float32)
+            vblk = vblk.at[:a1, 0:1].set(v1).at[a1:, 1:2].set(v2)
+            w_qp = p["query_projection"]["kernel"]
+            keys = jnp.concatenate(
+                [cond.keys[0], cond.keys[1]], axis=-1
+            )
+            mem2 = cond.memories[1]
+        else:
+            vblk = v1
+            w_qp = m0["query_layer"]["kernel"]
+            keys = cond.keys[0]
+            mem2 = None
+        use_ta = bool(getattr(mechs[0], "use_transition_agent", False))
+        if use_ta:
+            ta = m0["transition_factor"]
+            w_ta, b_ta = ta["kernel"], ta["bias"]
+        else:
+            e1 = cond.memories[0].shape[2]
+            w_ta = jnp.zeros((e1 + self.attention_rnn_out_units, 1), jnp.float32)
+            b_ta = jnp.zeros((1,), jnp.float32)
+
+        weights = dict(
+            w_p1=p["prenet"]["Dense_0"]["kernel"], b_p1=p["prenet"]["Dense_0"]["bias"],
+            w_p2=p["prenet"]["Dense_1"]["kernel"], b_p2=p["prenet"]["Dense_1"]["bias"],
+            w_attg=p["attention_lstm"]["gates"]["kernel"],
+            b_attg=p["attention_lstm"]["gates"]["bias"],
+            w_qp=w_qp, vblk=vblk, w_ta=w_ta, b_ta=b_ta,
+            w_l1=p["decoder_lstm_0"]["gates"]["kernel"],
+            b_l1=p["decoder_lstm_0"]["gates"]["bias"],
+            w_l2=p["decoder_lstm_1"]["gates"]["kernel"],
+            b_l2=p["decoder_lstm_1"]["gates"]["bias"],
+        )
+        mask = cond.masks[0]
+        score_bias = (
+            jnp.where(mask, 0.0, -1e9).astype(jnp.float32)
+            if mask is not None
+            else jnp.zeros(cond.memories[0].shape[:2], jnp.float32)
+        )
+        seed = jax.random.randint(
+            self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max
+        )
+        s = cond.memories[0].shape[1]
+        # the kernel concatenates the speaker embedding AFTER the prenet,
+        # matching Decoder.step
+        spk = (
+            cond.speaker_embed.astype(jnp.float32)
+            if cond.speaker_embed is not None else None
+        )
+        hp_like = dict(
+            dual=dual, use_ta=use_ta,
+            prenet_units=tuple(self.prenet_out_units),
+            att_units=self.attention_rnn_out_units,
+            att1_units=int(v1.shape[0]),
+            att2_units=int(v2.shape[0]) if dual else 0,
+            dec_units=self.decoder_out_units,
+            zoneout_cell=self.zoneout_factor_cell,
+            zoneout_output=self.zoneout_factor_output,
+            prenet_drop_rate=self.prenet_drop_rate,
+            io_dtype=(
+                "bfloat16" if self.dtype == jnp.bfloat16 else "float32"
+            ),
+        )
+        features, aligns = fused_teacher.teacher_decode(
+            weights=weights, keys=keys, mem1=cond.memories[0], mem2=mem2,
+            score_bias=score_bias, spk=spk,
+            feeds=feeds.astype(jnp.float32), seed=seed, hp_like=hp_like,
+        )
+        features = features.astype(self.dtype)
+        align_tuple = (
+            (aligns[..., :s], aligns[..., s:]) if dual else (aligns,)
+        )
+        frames, stop, sa_aligns = self.post(features)
+        return frames, stop, align_tuple, sa_aligns
+
+    # ------------------------------------------------------------------ #
     # Teacher-forced training decode
     # ------------------------------------------------------------------ #
 
@@ -334,6 +462,8 @@ class Decoder(nn.Module):
         different bitstream).
         """
         feeds = self.make_teacher_feeds(targets)
+        if self._fused_teacher_supported(cond):
+            return self._fused_teacher_call(cond, feeds)
         state = self.initial_state(cond)
         b, n = feeds.shape[:2]
 
@@ -370,6 +500,18 @@ class Decoder(nn.Module):
             return mdl.step(
                 carry, feed, cond, prenet_masks=pmasks, zoneout_masks=zmasks
             )
+
+        # Remat the step: without it XLA stores every per-step intermediate
+        # (incl. the (B,S,A) attention tanh) to HBM during the forward scan
+        # and streams it back in the backward — measured 35.5 of the
+        # 41 ms training step in the backward (BASELINE.md). Recomputing
+        # the step from its carry trades that HBM round-trip for a second
+        # forward pass (5.6 ms device).
+        body = nn.remat(
+            body,
+            policy=jax.checkpoint_policies.nothing_saveable,
+            prevent_cse=False,
+        )
 
         scan = nn.scan(
             body,
@@ -452,5 +594,6 @@ def decoder_factory(
     return Decoder(
         attention_mechs=attention_mechs,
         use_self_attention=use_sa,
+        use_pallas=hparams.use_pallas_kernels,
         **_decoder_kwargs(hparams, is_training, dtype, heads),
     )

@@ -1,0 +1,952 @@
+"""Fused teacher-forced decoder scan: forward + custom-VJP backward kernels.
+
+Training hot loop (a) of SURVEY.md §3.2. The XLA ``nn.scan`` training
+step measured 41 ms device time at batch 32 × 800 frames of which the
+backward pass is ~35.5 ms: XLA autodiff stores every per-step
+intermediate — including the (B, S, A) attention tanh — to HBM during
+the forward scan and streams it back in reverse (scripts/
+profile_train_ablate.py, BASELINE.md). This module runs the whole
+scanned region (prenet → attention ZoneoutLSTM → forward + additive
+attention → 2 residual ZoneoutLSTMs) as ONE Pallas kernel per direction:
+
+* forward: one ``fori_loop`` over the N decoder steps with weights and
+  memories resident in VMEM; emits features (N, B, DU) and alignments
+  directly to VMEM outputs and streams one packed carry row per step to
+  HBM (the only residual needed — everything else is recomputed).
+* backward: iterates t = N−1 … 0, DMA-ing carry rows back in, recomputing
+  the step's internals from the carry (flash-style recompute instead of
+  the 3+ GB intermediate round-trip), and accumulating weight /
+  conditioning gradients in VMEM accumulators.
+
+Stochastic masks (prenet dropout, train-mode binary zoneout) come from
+the on-core PRNG re-seeded per step with ``seed + t`` so the backward
+regenerates bit-identical masks — nothing stochastic is stored. The
+bitstream differs from the XLA path's threefry (same Bernoulli
+distribution), exactly like ops/fused_decode.py's prenet dropout.
+
+The decoder self-attention block and the output projection run OUTSIDE
+the scan in training (Decoder.post) and stay on the XLA path — they are
+full-sequence MXU matmuls XLA already handles well.
+
+Covers the same configuration family as the AR kernel
+(ops/fused_decode.py): single/dual source, forward attention ± transition
+agent, optional speaker embedding, 2-layer prenet, 2 decoder LSTMs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+_EPS = 1e-6
+
+# tests force interpreter mode through this switch (CPU CI)
+FORCE_INTERPRET = False
+
+
+def _sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+def _ceil128(x: int) -> int:
+    return ((x + 127) // 128) * 128
+
+
+def _carry_layout(cfg):
+    """Packed carry row layout: name → (offset, width)."""
+    AU, DU = cfg["att_units"], cfg["dec_units"]
+    E1 = cfg["mem1_dim"]
+    E2 = cfg["mem2_dim"] if cfg["dual"] else 0
+    S = cfg["src_len"]
+    fields = [
+        ("c_att", AU), ("h_att", AU),
+        ("c1", DU), ("h1", DU), ("c2", DU), ("h2", DU),
+        ("ctx1", E1),
+    ]
+    if cfg["dual"]:
+        fields.append(("ctx2", E2))
+    fields.append(("alpha", S))
+    fields.append(("u", 1))
+    layout = {}
+    off = 0
+    for name, width in fields:
+        layout[name] = (off, width)
+        off += width
+    return layout, _ceil128(off)
+
+
+def _keep_u32(p: float) -> np.uint32:
+    return np.uint32(min(int(p * 2**32), 2**32 - 1))
+
+
+# --------------------------------------------------------------------------- #
+# Shared per-step forward computation (used by fwd kernel and bwd recompute)
+# --------------------------------------------------------------------------- #
+
+
+def _make_step_fns(cfg, refs):
+    """Build the per-step recompute closure over the weight refs.
+
+    ``refs`` maps names → VMEM refs. Returns ``recompute(t, carry_in,
+    feed) -> internals dict`` where ``carry_in`` is the dict of previous-
+    step tensors. The PRNG must already be seeded for step t; draws
+    happen in a fixed order (pmask1, pmask2, z_att_c, z_att_h, z1_c,
+    z1_h, z2_c, z2_h).
+    """
+    B = cfg["batch"]
+    S = cfg["src_len"]
+    P1, P2 = cfg["prenet_units"]
+    dual = cfg["dual"]
+    use_ta = cfg["use_ta"]
+    SPK = cfg["spk_dim"]
+    io_dtype = jnp.bfloat16 if cfg["io_dtype"] == "bfloat16" else jnp.float32
+    zc, zo = cfg["zoneout_cell"], cfg["zoneout_output"]
+    keep = 1.0 - cfg["prenet_drop_rate"]
+    keep_bits = _keep_u32(keep)
+    zc_bits = _keep_u32(zc)
+    zo_bits = _keep_u32(zo)
+    A1 = cfg["att1_units"]
+    a_tot = A1 + (cfg["att2_units"] if dual else 0)
+
+    interpret = cfg["interpret"]
+    draw_counter = [0]  # static draw id; trace order is identical fwd/bwd
+
+    def draw_mask(shape, threshold):
+        draw_counter[0] += 1
+        if interpret:
+            # counter-based murmur3-finalizer hash: pltpu.prng_* has no
+            # CPU interpret lowering; this path is test-only. Inputs:
+            # (seed + t) is seeded via _seed_state by the caller.
+            base = (
+                _seed_state[0].astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+                + jnp.uint32((draw_counter[0] * 0x85EBCA6B) & 0xFFFFFFFF)
+            )
+            idx = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * jnp.uint32(
+                shape[1]
+            ) + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+            x = base + idx * jnp.uint32(0xC2B2AE35)
+            x = x ^ (x >> 16)
+            x = x * jnp.uint32(0x85EBCA6B)
+            x = x ^ (x >> 13)
+            x = x * jnp.uint32(0xC2B2AE35)
+            x = x ^ (x >> 16)
+            bits = x
+        else:
+            bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        return (bits < threshold).astype(jnp.float32)
+
+    _seed_state = [jnp.zeros((), jnp.int32)]
+
+    def seed_step(seed_plus_t):
+        """Seed the step's mask stream (both kernels call this per step)."""
+        draw_counter[0] = 0
+        if interpret:
+            _seed_state[0] = seed_plus_t
+        else:
+            pltpu.prng_seed(seed_plus_t)
+
+    def dropout_fwd(x, width):
+        if keep >= 1.0:
+            return x, None
+        m = draw_mask((B, width), keep_bits)
+        return x * m * (1.0 / keep), m
+
+    def zoneout_masks(width):
+        # keep_old masks (1.0 = keep previous state), drawn c then h
+        mc = draw_mask((B, width), zc_bits) if zc > 0.0 else None
+        mh = draw_mask((B, width), zo_bits) if zo > 0.0 else None
+        return mc, mh
+
+    def lstm_fwd(xh, w_ref, b_ref, c_prev, h_prev, mc, mh):
+        z = jnp.dot(
+            xh.astype(io_dtype), w_ref[:], preferred_element_type=jnp.float32
+        ) + b_ref[:].astype(jnp.float32)
+        u = z.shape[-1] // 4
+        i, g, f, o = z[:, :u], z[:, u : 2 * u], z[:, 2 * u : 3 * u], z[:, 3 * u :]
+        si, tg, sf, so = _sigmoid(i), jnp.tanh(g), _sigmoid(f + 1.0), _sigmoid(o)
+        c_new = sf * c_prev + si * tg
+        tc = jnp.tanh(c_new)
+        h_new = so * tc
+        c_out = c_prev * mc + c_new * (1.0 - mc) if mc is not None else c_new
+        h_out = h_prev * mh + h_new * (1.0 - mh) if mh is not None else h_new
+        return dict(
+            z=z, si=si, tg=tg, sf=sf, so=so, c_new=c_new, tc=tc, h_new=h_new,
+            c_out=c_out, h_out=h_out, mc=mc, mh=mh, xh=xh,
+        )
+
+    def recompute(t, cin, feed):
+        """cin: dict with c_att,h_att,c1,h1,c2,h2,ctx1[,ctx2],alpha,u."""
+        it = {}
+        # prenet
+        x1_pre = jnp.dot(
+            feed.astype(io_dtype), refs["w_p1"][:],
+            preferred_element_type=jnp.float32,
+        ) + refs["b_p1"][:].astype(jnp.float32)
+        x1_relu = jnp.maximum(x1_pre, 0.0)
+        x1, m1 = dropout_fwd(x1_relu, P1)
+        x2_pre = jnp.dot(
+            x1.astype(io_dtype), refs["w_p2"][:],
+            preferred_element_type=jnp.float32,
+        ) + refs["b_p2"][:].astype(jnp.float32)
+        x2_relu = jnp.maximum(x2_pre, 0.0)
+        x2, m2 = dropout_fwd(x2_relu, P2)
+        it.update(x1_pre=x1_pre, x1=x1, m1=m1, x2_pre=x2_pre, x2=x2, m2=m2)
+
+        spk = [refs["spk"][:].astype(jnp.float32)] if SPK else []
+        ctx2_in = [cin["ctx2"]] if dual else []
+        att_in = jnp.concatenate([x2, *spk, cin["ctx1"], *ctx2_in, cin["h_att"]], axis=-1)
+        mz_att = zoneout_masks(cfg["att_units"])
+        att = lstm_fwd(
+            att_in, refs["w_attg"], refs["b_attg"], cin["c_att"], cin["h_att"], *mz_att
+        )
+        query = att["h_out"]
+        it.update(att=att, att_in=att_in)
+
+        qp = jnp.dot(
+            query.astype(io_dtype), refs["w_qp"][:],
+            preferred_element_type=jnp.float32,
+        )
+        tq = jnp.tanh(refs["keys"][:].astype(jnp.float32) + qp[:, None, :])
+        e2d = jnp.dot(
+            tq.reshape(B * S, a_tot), refs["vblk"][:].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        e1 = e2d[:, 0:1].reshape(B, S) + refs["score_bias"][:]
+        y1 = jax.nn.softmax(e1, axis=-1)
+        shifted = pltpu.roll(cin["alpha"], 1, axis=1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+        shifted = jnp.where(col == 0, 0.0, shifted)
+        w_rec = (1.0 - cin["u"]) * cin["alpha"] + cin["u"] * shifted + _EPS
+        alpha_hat = w_rec * y1
+        s_hat = jnp.sum(alpha_hat, axis=-1, keepdims=True)
+        alpha1 = alpha_hat / s_hat
+        ctx1 = jnp.sum(alpha1[:, :, None] * refs["mem1"][:].astype(jnp.float32), axis=1)
+        it.update(
+            qp=qp, tq=tq, e2d=e2d, y1=y1, shifted=shifted, w_rec=w_rec,
+            s_hat=s_hat, alpha1=alpha1, ctx1=ctx1, query=query,
+        )
+
+        if use_ta:
+            ta_in = jnp.concatenate([ctx1, query], axis=-1)
+            u_pre = jnp.dot(
+                ta_in.astype(io_dtype), refs["w_ta"][:],
+                preferred_element_type=jnp.float32,
+            ) + refs["b_ta"][:].astype(jnp.float32)
+            u_new = _sigmoid(u_pre)
+            it.update(ta_in=ta_in, u_new=u_new)
+        else:
+            it["u_new"] = cin["u"]
+
+        if dual:
+            e2 = e2d[:, 1:2].reshape(B, S) + refs["score_bias"][:]
+            alpha2 = jax.nn.softmax(e2, axis=-1)
+            ctx2 = jnp.sum(
+                alpha2[:, :, None] * refs["mem2"][:].astype(jnp.float32), axis=1
+            )
+            it.update(alpha2=alpha2, ctx2=ctx2)
+
+        din1 = jnp.concatenate(
+            [query, ctx1, *([it["ctx2"]] if dual else []), cin["h1"]], axis=-1
+        )
+        mz1 = zoneout_masks(cfg["dec_units"])
+        l1 = lstm_fwd(din1, refs["w_l1"], refs["b_l1"], cin["c1"], cin["h1"], *mz1)
+        din2 = jnp.concatenate([l1["h_out"], cin["h2"]], axis=-1)
+        mz2 = zoneout_masks(cfg["dec_units"])
+        l2 = lstm_fwd(din2, refs["w_l2"], refs["b_l2"], cin["c2"], cin["h2"], *mz2)
+        it.update(l1=l1, l2=l2, din1=din1, din2=din2)
+        it["feature"] = l1["h_out"] + l2["h_out"]
+        return it
+
+    return recompute, seed_step
+
+
+# --------------------------------------------------------------------------- #
+# Forward kernel
+# --------------------------------------------------------------------------- #
+
+_FWD_REF_NAMES = (
+    "feeds", "spk", "score_bias", "keys", "mem1", "mem2",
+    "w_p1", "b_p1", "w_p2", "b_p2",
+    "w_attg", "b_attg", "w_qp", "vblk", "w_ta", "b_ta",
+    "w_l1", "b_l1", "w_l2", "b_l2",
+)
+
+
+def _make_fwd_kernel(cfg):
+    B, S, N = cfg["batch"], cfg["src_len"], cfg["num_steps"]
+    AU, DU = cfg["att_units"], cfg["dec_units"]
+    dual = cfg["dual"]
+    layout, c_pad = _carry_layout(cfg)
+    align_w = (2 if dual else 1) * S
+    align_pad = _ceil128(align_w)
+    stochastic = cfg["prenet_drop_rate"] > 0.0 or (
+        cfg["zoneout_cell"] > 0.0 or cfg["zoneout_output"] > 0.0
+    )
+
+    def kernel(seed_ref, *args):
+        refs = dict(zip(_FWD_REF_NAMES, args[: len(_FWD_REF_NAMES)]))
+        rest = args[len(_FWD_REF_NAMES):]
+        feat_out, align_out, carry_hbm = rest[0], rest[1], rest[2]
+        carry_row, carry_sem = rest[3], rest[4]
+        recompute, seed_step = _make_step_fns(cfg, refs)
+        width_total = max(off + w for off, w in layout.values())
+
+        def pack_carry(slot, cout):
+            row = jnp.concatenate(
+                [cout[name] for name in layout], axis=-1
+            )
+            carry_row[slot] = jnp.pad(row, ((0, 0), (0, c_pad - width_total)))
+
+        def step(t, carry):
+            cin = dict(zip(
+                ("c_att", "h_att", "c1", "h1", "c2", "h2", "ctx1", "ctx2",
+                 "alpha", "u"), carry,
+            ))
+            if stochastic:
+                seed_step(seed_ref[0] + t)
+            feed = refs["feeds"][t]
+            it = recompute(t, cin, feed)
+
+            feat_out[t] = it["feature"]
+            arow = (
+                jnp.concatenate([it["alpha1"], it["alpha2"]], axis=-1)
+                if dual else it["alpha1"]
+            )
+            align_out[t] = jnp.pad(
+                arow, ((0, 0), (0, align_pad - align_w))
+            )
+
+            cout = dict(
+                c_att=it["att"]["c_out"], h_att=it["att"]["h_out"],
+                c1=it["l1"]["c_out"], h1=it["l1"]["h_out"],
+                c2=it["l2"]["c_out"], h2=it["l2"]["h_out"],
+                ctx1=it["ctx1"], alpha=it["alpha1"], u=it["u_new"],
+            )
+            if dual:
+                cout["ctx2"] = it["ctx2"]
+
+            # 2-slot ring: wait for the copy issued 2 steps ago, refill, send
+            slot = jax.lax.rem(t, 2)
+
+            @pl.when(t >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    carry_row.at[pl.ds(slot, 1)],
+                    carry_hbm.at[pl.ds(t - 2, 1)],
+                    carry_sem.at[slot],
+                ).wait()
+
+            pack_carry(slot, cout)
+            pltpu.make_async_copy(
+                carry_row.at[pl.ds(slot, 1)],
+                carry_hbm.at[pl.ds(t, 1)],
+                carry_sem.at[slot],
+            ).start()
+
+            return (
+                cout["c_att"], cout["h_att"], cout["c1"], cout["h1"],
+                cout["c2"], cout["h2"], cout["ctx1"],
+                cout.get("ctx2", carry[7]), cout["alpha"], cout["u"],
+            )
+
+        z = lambda *shape: jnp.zeros(shape, jnp.float32)
+        init_alpha = (
+            jax.lax.broadcasted_iota(jnp.int32, (B, S), 1) == 0
+        ).astype(jnp.float32)
+        e2w = cfg["mem2_dim"] if dual else 1
+        init = (
+            z(B, AU), z(B, AU), z(B, DU), z(B, DU), z(B, DU), z(B, DU),
+            z(B, cfg["mem1_dim"]), z(B, e2w),
+            init_alpha, jnp.full((B, 1), 0.5, jnp.float32),
+        )
+        jax.lax.fori_loop(0, N, step, init)
+
+        # drain the ring (N is static)
+        for slot in range(min(N, 2)):
+            pltpu.make_async_copy(
+                carry_row.at[slot : slot + 1],
+                carry_hbm.at[pl.ds(0, 1)],
+                carry_sem.at[slot],
+            ).wait()
+
+    return kernel, c_pad, align_pad
+
+
+# --------------------------------------------------------------------------- #
+# Backward kernel
+# --------------------------------------------------------------------------- #
+
+_BWD_EXTRA_REF_NAMES = (
+    # transposed weights for input-gradient matmuls (precomputed host-side)
+    "w_p1T", "w_p2T", "w_attgT", "w_qpT", "vblkT", "w_taT", "w_l1T", "w_l2T",
+)
+
+_GRAD_NAMES = (
+    "d_w_p1", "d_b_p1", "d_w_p2", "d_b_p2",
+    "d_w_attg", "d_b_attg", "d_w_qp", "d_vblk", "d_w_ta", "d_b_ta",
+    "d_w_l1", "d_b_l1", "d_w_l2", "d_b_l2",
+    "d_keys", "d_mem1", "d_mem2", "d_spk",
+)
+
+
+def _make_bwd_kernel(cfg):
+    B, S, N = cfg["batch"], cfg["src_len"], cfg["num_steps"]
+    AU, DU = cfg["att_units"], cfg["dec_units"]
+    dual = cfg["dual"]
+    use_ta = cfg["use_ta"]
+    SPK = cfg["spk_dim"]
+    P1, P2 = cfg["prenet_units"]
+    A1 = cfg["att1_units"]
+    a_tot = A1 + (cfg["att2_units"] if dual else 0)
+    E1 = cfg["mem1_dim"]
+    E2 = cfg["mem2_dim"] if dual else 0
+    keep = 1.0 - cfg["prenet_drop_rate"]
+    layout, c_pad = _carry_layout(cfg)
+    align_w = (2 if dual else 1) * S
+    stochastic = cfg["prenet_drop_rate"] > 0.0 or (
+        cfg["zoneout_cell"] > 0.0 or cfg["zoneout_output"] > 0.0
+    )
+    io_dtype = jnp.bfloat16 if cfg["io_dtype"] == "bfloat16" else jnp.float32
+
+    def dTb(x, g):
+        """xᵀ @ g with x (B, I), g (B, O) → (I, O), contracting the batch."""
+        return jax.lax.dot_general(
+            x.astype(io_dtype), g.astype(io_dtype),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def kernel(seed_ref, *args):
+        refs = dict(zip(_FWD_REF_NAMES, args[: len(_FWD_REF_NAMES)]))
+        pos = len(_FWD_REF_NAMES)
+        for name in _BWD_EXTRA_REF_NAMES:
+            refs[name] = args[pos]
+            pos += 1
+        g_feat_ref = args[pos]; pos += 1      # (N, B, DU) f32 VMEM
+        g_align_ref = args[pos]; pos += 1     # (N, B, align_pad) f32 VMEM
+        carry_hbm = args[pos]; pos += 1       # (N, B, c_pad) f32 ANY
+        grads = dict(zip(_GRAD_NAMES, args[pos : pos + len(_GRAD_NAMES)]))
+        pos += len(_GRAD_NAMES)
+        carry_buf, carry_sem = args[pos], args[pos + 1]
+
+        recompute, seed_step = _make_step_fns(cfg, refs)
+
+        # zero the accumulators
+        for name in _GRAD_NAMES:
+            grads[name][:] = jnp.zeros(grads[name].shape, jnp.float32)
+
+        def lstm_bwd(it, g_c_out, g_h_out, c_prev, w_T, d_w, d_b):
+            """Returns (g_xh, g_c_prev, g_h_prev) and accumulates weight grads."""
+            mc, mh = it["mc"], it["mh"]
+            if mc is not None:
+                g_c_new = g_c_out * (1.0 - mc)
+                g_c_prev = g_c_out * mc
+            else:
+                g_c_new, g_c_prev = g_c_out, jnp.zeros_like(g_c_out)
+            if mh is not None:
+                g_h_new = g_h_out * (1.0 - mh)
+                g_h_prev = g_h_out * mh
+            else:
+                g_h_new, g_h_prev = g_h_out, jnp.zeros_like(g_h_out)
+
+            so, tc, sf, si, tg = it["so"], it["tc"], it["sf"], it["si"], it["tg"]
+            g_o_pre = g_h_new * tc * so * (1.0 - so)
+            g_c_new = g_c_new + g_h_new * so * (1.0 - tc * tc)
+            g_f_pre = g_c_new * c_prev * sf * (1.0 - sf)
+            g_c_prev = g_c_prev + g_c_new * sf
+            g_i_pre = g_c_new * tg * si * (1.0 - si)
+            g_g_pre = g_c_new * si * (1.0 - tg * tg)
+            g_z = jnp.concatenate([g_i_pre, g_g_pre, g_f_pre, g_o_pre], axis=-1)
+            d_w[:] = d_w[:] + dTb(it["xh"], g_z)
+            d_b[:] = d_b[:] + jnp.sum(g_z, axis=0, keepdims=True)
+            g_xh = jnp.dot(
+                g_z.astype(io_dtype), w_T[:], preferred_element_type=jnp.float32
+            )
+            return g_xh, g_c_prev, g_h_prev
+
+        def softmax_bwd(a, g_a):
+            return a * (g_a - jnp.sum(g_a * a, axis=-1, keepdims=True))
+
+        def step(i, carry_grads):
+            t = N - 1 - i
+            (g_c_att, g_h_att, g_c1, g_h1, g_c2, g_h2,
+             g_ctx1_c, g_ctx2_c, g_alpha_c, g_u_c) = carry_grads
+
+            # fetch carry_in = carries[t-1] (or the initial state at t=0)
+            @pl.when(t > 0)
+            def _():
+                pltpu.make_async_copy(
+                    carry_hbm.at[pl.ds(t - 1, 1)],
+                    carry_buf.at[pl.ds(0, 1)],
+                    carry_sem.at[0],
+                ).start()
+                pltpu.make_async_copy(
+                    carry_hbm.at[pl.ds(t - 1, 1)],
+                    carry_buf.at[pl.ds(0, 1)],
+                    carry_sem.at[0],
+                ).wait()
+
+            row = carry_buf[0]
+            t_is0 = (t == 0)
+
+            def unpack(name):
+                off, width = layout[name]
+                return row[:, off : off + width]
+
+            init_alpha = (
+                jax.lax.broadcasted_iota(jnp.int32, (B, S), 1) == 0
+            ).astype(jnp.float32)
+            zsel = lambda v: jnp.where(t_is0, jnp.zeros_like(v), v)
+            cin = dict(
+                c_att=zsel(unpack("c_att")), h_att=zsel(unpack("h_att")),
+                c1=zsel(unpack("c1")), h1=zsel(unpack("h1")),
+                c2=zsel(unpack("c2")), h2=zsel(unpack("h2")),
+                ctx1=zsel(unpack("ctx1")),
+                alpha=jnp.where(t_is0, init_alpha, unpack("alpha")),
+                u=jnp.where(t_is0, jnp.full((B, 1), 0.5, jnp.float32), unpack("u")),
+            )
+            if dual:
+                cin["ctx2"] = zsel(unpack("ctx2"))
+
+            if stochastic:
+                seed_step(seed_ref[0] + t)
+            feed = refs["feeds"][t]
+            it = recompute(t, cin, feed)
+
+            # ---- gradients flowing into this step's outputs ----
+            gf = g_feat_ref[t]
+            g_h1_out = g_h1 + gf
+            g_h2_out = g_h2 + gf
+            g_alpha1_tot = g_alpha_c + g_align_ref[t][:, :S]
+            g_alpha2_ext = g_align_ref[t][:, S : 2 * S] if dual else None
+
+            # ---- LSTM2 ----
+            g_din2, g_c2_prev, g_h2_prev = lstm_bwd(
+                it["l2"], g_c2, g_h2_out, cin["c2"],
+                refs["w_l2T"], grads["d_w_l2"], grads["d_b_l2"],
+            )
+            g_h1_out = g_h1_out + g_din2[:, :DU]
+            g_h2_prev = g_h2_prev + g_din2[:, DU:]
+
+            # ---- LSTM1 ----
+            g_din1, g_c1_prev, g_h1_prev = lstm_bwd(
+                it["l1"], g_c1, g_h1_out, cin["c1"],
+                refs["w_l1T"], grads["d_w_l1"], grads["d_b_l1"],
+            )
+            g_query = g_din1[:, :AU]
+            g_ctx1 = g_ctx1_c + g_din1[:, AU : AU + E1]
+            if dual:
+                g_ctx2 = g_ctx2_c + g_din1[:, AU + E1 : AU + E1 + E2]
+                g_h1_prev = g_h1_prev + g_din1[:, AU + E1 + E2 :]
+            else:
+                g_ctx2 = g_ctx2_c
+                g_h1_prev = g_h1_prev + g_din1[:, AU + E1 :]
+
+            # ---- transition agent (u_t consumed at step t+1 → g_u_c) ----
+            if use_ta:
+                u_new = it["u_new"]
+                g_u_pre = g_u_c * u_new * (1.0 - u_new)
+                grads["d_w_ta"][:] = grads["d_w_ta"][:] + dTb(it["ta_in"], g_u_pre)
+                grads["d_b_ta"][:] = grads["d_b_ta"][:] + jnp.sum(
+                    g_u_pre, axis=0, keepdims=True
+                )
+                g_ta = jnp.dot(
+                    g_u_pre.astype(io_dtype), refs["w_taT"][:],
+                    preferred_element_type=jnp.float32,
+                )
+                g_ctx1 = g_ctx1 + g_ta[:, :E1]
+                g_query = g_query + g_ta[:, E1:]
+                g_u_pass = jnp.zeros((B, 1), jnp.float32)
+            else:
+                g_u_pass = g_u_c  # u passes through unchanged
+
+            # ---- additive attention #2 ----
+            if dual:
+                mem2f = refs["mem2"][:].astype(jnp.float32)
+                g_alpha2 = jnp.sum(g_ctx2[:, None, :] * mem2f, axis=-1)
+                if g_alpha2_ext is not None:
+                    g_alpha2 = g_alpha2 + g_alpha2_ext
+                grads["d_mem2"][:] = grads["d_mem2"][:] + (
+                    it["alpha2"][:, :, None] * g_ctx2[:, None, :]
+                )
+                g_e2 = softmax_bwd(it["alpha2"], g_alpha2)
+            else:
+                g_e2 = None
+
+            # ---- context 1 + forward-attention recursion ----
+            mem1f = refs["mem1"][:].astype(jnp.float32)
+            g_alpha1_tot = g_alpha1_tot + jnp.sum(
+                g_ctx1[:, None, :] * mem1f, axis=-1
+            )
+            grads["d_mem1"][:] = grads["d_mem1"][:] + (
+                it["alpha1"][:, :, None] * g_ctx1[:, None, :]
+            )
+            g_ahat = (
+                g_alpha1_tot
+                - jnp.sum(g_alpha1_tot * it["alpha1"], axis=-1, keepdims=True)
+            ) / it["s_hat"]
+            g_y1 = g_ahat * it["w_rec"]
+            g_w = g_ahat * it["y1"]
+            g_u_rec = jnp.sum(
+                g_w * (it["shifted"] - cin["alpha"]), axis=-1, keepdims=True
+            )
+            g_u_prev = g_u_pass + g_u_rec
+            gwu = g_w * cin["u"]
+            col = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+            # adjoint of the zero-filled right-shift: left-shift with zero
+            # at the last column (roll by S-1 == roll by -1)
+            unshift = jnp.where(col == S - 1, 0.0, pltpu.roll(gwu, S - 1, axis=1))
+            g_alpha_prev = g_w * (1.0 - cin["u"]) + unshift
+            g_e1 = softmax_bwd(it["y1"], g_y1)
+
+            # ---- fused scores backward ----
+            if dual:
+                g_e2d = jnp.concatenate(
+                    [g_e1.reshape(B * S, 1), g_e2.reshape(B * S, 1)], axis=-1
+                )
+            else:
+                g_e2d = g_e1.reshape(B * S, 1)
+            tq2d = it["tq"].reshape(B * S, a_tot)
+            grads["d_vblk"][:] = grads["d_vblk"][:] + dTb(tq2d, g_e2d)
+            g_tq = jnp.dot(
+                g_e2d.astype(io_dtype), refs["vblkT"][:].astype(io_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            g_pre = (g_tq * (1.0 - tq2d * tq2d)).reshape(B, S, a_tot)
+            grads["d_keys"][:] = grads["d_keys"][:] + g_pre
+            g_qp = jnp.sum(g_pre, axis=1)
+            grads["d_w_qp"][:] = grads["d_w_qp"][:] + dTb(it["query"], g_qp)
+            g_query = g_query + jnp.dot(
+                g_qp.astype(io_dtype), refs["w_qpT"][:],
+                preferred_element_type=jnp.float32,
+            )
+
+            # ---- attention LSTM ----
+            g_h_att_out = g_h_att + g_query
+            g_att_in, g_c_att_prev, g_h_att_prev = lstm_bwd(
+                it["att"], g_c_att, g_h_att_out, cin["c_att"],
+                refs["w_attgT"], grads["d_w_attg"], grads["d_b_attg"],
+            )
+            off = 0
+            g_x2 = g_att_in[:, :P2]; off = P2
+            if SPK:
+                grads["d_spk"][:] = grads["d_spk"][:] + g_att_in[:, off : off + SPK]
+                off += SPK
+            g_ctx1_prev = g_att_in[:, off : off + E1]; off += E1
+            if dual:
+                g_ctx2_prev = g_att_in[:, off : off + E2]; off += E2
+            else:
+                g_ctx2_prev = g_ctx2_c * 0.0
+            g_h_att_prev = g_h_att_prev + g_att_in[:, off:]
+
+            # ---- prenet backward ----
+            if it["m2"] is not None:
+                g_x2 = g_x2 * it["m2"] * (1.0 / keep)
+            g_x2_pre = g_x2 * (it["x2_pre"] > 0.0).astype(jnp.float32)
+            grads["d_w_p2"][:] = grads["d_w_p2"][:] + dTb(it["x1"], g_x2_pre)
+            grads["d_b_p2"][:] = grads["d_b_p2"][:] + jnp.sum(
+                g_x2_pre, axis=0, keepdims=True
+            )
+            g_x1 = jnp.dot(
+                g_x2_pre.astype(io_dtype), refs["w_p2T"][:],
+                preferred_element_type=jnp.float32,
+            )
+            if it["m1"] is not None:
+                g_x1 = g_x1 * it["m1"] * (1.0 / keep)
+            g_x1_pre = g_x1 * (it["x1_pre"] > 0.0).astype(jnp.float32)
+            grads["d_w_p1"][:] = grads["d_w_p1"][:] + dTb(
+                feed.astype(jnp.float32), g_x1_pre
+            )
+            grads["d_b_p1"][:] = grads["d_b_p1"][:] + jnp.sum(
+                g_x1_pre, axis=0, keepdims=True
+            )
+            # feed gradient unused: teacher frames are ground-truth data
+
+            return (
+                g_c_att_prev, g_h_att_prev, g_c1_prev, g_h1_prev,
+                g_c2_prev, g_h2_prev, g_ctx1_prev, g_ctx2_prev,
+                g_alpha_prev, g_u_prev,
+            )
+
+        z = lambda *shape: jnp.zeros(shape, jnp.float32)
+        e2w = E2 if dual else 1
+        init = (
+            z(B, AU), z(B, AU), z(B, DU), z(B, DU), z(B, DU), z(B, DU),
+            z(B, E1), z(B, e2w), z(B, S), z(B, 1),
+        )
+        jax.lax.fori_loop(0, N, step, init)
+
+    return kernel, c_pad, _ceil128(align_w)
+
+
+# --------------------------------------------------------------------------- #
+# pallas_call wrappers + custom VJP
+# --------------------------------------------------------------------------- #
+
+
+def _vmem_specs(n):
+    return [pl.BlockSpec(memory_space=pltpu.VMEM)] * n
+
+
+@functools.partial(jax.jit, static_argnames=("cfg_key",))
+def _run_fwd(operands: Tuple, cfg_key: Tuple):
+    cfg = dict(cfg_key)
+    kernel, c_pad, align_pad = _make_fwd_kernel(cfg)
+    B, N = cfg["batch"], cfg["num_steps"]
+    DU = cfg["dec_units"]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(),
+        in_specs=_vmem_specs(len(operands) - 1),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # features
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # alignments
+            pl.BlockSpec(memory_space=pl.ANY),       # carries (HBM)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, B, c_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((N, B, DU), jnp.float32),
+            jax.ShapeDtypeStruct((N, B, align_pad), jnp.float32),
+            jax.ShapeDtypeStruct((N, B, c_pad), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=cfg["interpret"],
+    )(*operands)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg_key",))
+def _run_bwd(operands: Tuple, cfg_key: Tuple):
+    cfg = dict(cfg_key)
+    kernel, c_pad, _ = _make_bwd_kernel(cfg)
+    B, S = cfg["batch"], cfg["src_len"]
+    AU, DU = cfg["att_units"], cfg["dec_units"]
+    P1, P2 = cfg["prenet_units"]
+    A1 = cfg["att1_units"]
+    dual = cfg["dual"]
+    a_tot = A1 + (cfg["att2_units"] if dual else 0)
+    E1 = cfg["mem1_dim"]
+    E2 = cfg["mem2_dim"] if dual else 0
+    SPK = cfg["spk_dim"]
+    F = cfg["feed_dim"]
+    in_att = P2 + SPK + E1 + E2 + AU
+    in1 = AU + E1 + E2 + DU
+    n_src = 2 if dual else 1
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((F, P1), jnp.float32),       # d_w_p1
+        jax.ShapeDtypeStruct((1, P1), jnp.float32),
+        jax.ShapeDtypeStruct((P1, P2), jnp.float32),
+        jax.ShapeDtypeStruct((1, P2), jnp.float32),
+        jax.ShapeDtypeStruct((in_att, 4 * AU), jnp.float32),
+        jax.ShapeDtypeStruct((1, 4 * AU), jnp.float32),
+        jax.ShapeDtypeStruct((AU, a_tot), jnp.float32),   # d_w_qp
+        jax.ShapeDtypeStruct((a_tot, n_src), jnp.float32),  # d_vblk
+        jax.ShapeDtypeStruct((E1 + AU, 1), jnp.float32),  # d_w_ta
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((in1, 4 * DU), jnp.float32),
+        jax.ShapeDtypeStruct((1, 4 * DU), jnp.float32),
+        jax.ShapeDtypeStruct((2 * DU, 4 * DU), jnp.float32),
+        jax.ShapeDtypeStruct((1, 4 * DU), jnp.float32),
+        jax.ShapeDtypeStruct((B, S, a_tot), jnp.float32),  # d_keys
+        jax.ShapeDtypeStruct((B, S, E1), jnp.float32),     # d_mem1
+        jax.ShapeDtypeStruct((B, S, max(E2, 1)), jnp.float32),
+        jax.ShapeDtypeStruct((B, max(SPK, 1)), jnp.float32),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(),
+        in_specs=(
+            _vmem_specs(len(operands) - 2)
+            + [pl.BlockSpec(memory_space=pl.ANY)]   # carries (HBM)
+        ),
+        out_specs=tuple(
+            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in out_shapes
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, B, c_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=cfg["interpret"],
+    )(*operands)
+
+
+def _weights_to_operands(weights: Dict, io):
+    """Fixed order matching _FWD_REF_NAMES[6:]."""
+    return (
+        io(weights["w_p1"]), io(weights["b_p1"]),
+        io(weights["w_p2"]), io(weights["b_p2"]),
+        io(weights["w_attg"]), io(weights["b_attg"]),
+        io(weights["w_qp"]), io(weights["vblk"]),
+        io(weights["w_ta"]), io(weights["b_ta"]),
+        io(weights["w_l1"]), io(weights["b_l1"]),
+        io(weights["w_l2"]), io(weights["b_l2"]),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _teacher_decode(cfg_key, weights, conds, feeds, seed):
+    out, _ = _teacher_decode_fwd(cfg_key, weights, conds, feeds, seed)
+    return out
+
+
+def _common_operands(cfg, weights, conds, feeds, seed):
+    io = (
+        (lambda x: jnp.asarray(x, jnp.bfloat16))
+        if cfg["io_dtype"] == "bfloat16"
+        else (lambda x: jnp.asarray(x, jnp.float32))
+    )
+    B = cfg["batch"]
+    spk = conds.get("spk")
+    mem2 = conds.get("mem2")
+    return (
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        io(jnp.transpose(feeds, (1, 0, 2))),                  # (N, B, F)
+        io(spk) if spk is not None else jnp.zeros((B, 1), jnp.bfloat16),
+        jnp.asarray(conds["score_bias"], jnp.float32),
+        io(conds["keys"]),
+        io(conds["mem1"]),
+        io(mem2) if mem2 is not None else jnp.zeros((8, 8, 128), jnp.bfloat16),
+    ) + _weights_to_operands(weights, io)
+
+
+def _teacher_decode_fwd(cfg_key, weights, conds, feeds, seed):
+    cfg = dict(cfg_key)
+    operands = _common_operands(cfg, weights, conds, feeds, seed)
+    features, aligns, carries = _run_fwd(operands, cfg_key)
+    S = cfg["src_len"]
+    n_src = 2 if cfg["dual"] else 1
+    out = (features, aligns[..., : n_src * S])
+    return out, (weights, conds, feeds, seed, carries)
+
+
+def _teacher_decode_bwd(cfg_key, residuals, cotangents):
+    cfg = dict(cfg_key)
+    weights, conds, feeds, seed, carries = residuals
+    g_feat, g_align = cotangents
+    S = cfg["src_len"]
+    n_src = 2 if cfg["dual"] else 1
+    align_pad = _ceil128(n_src * S)
+    g_align = jnp.pad(
+        jnp.asarray(g_align, jnp.float32),
+        ((0, 0), (0, 0), (0, align_pad - n_src * S)),
+    )
+    io = (
+        (lambda x: jnp.asarray(x, jnp.bfloat16))
+        if cfg["io_dtype"] == "bfloat16"
+        else (lambda x: jnp.asarray(x, jnp.float32))
+    )
+    tr = lambda x: io(jnp.transpose(x))
+    operands = _common_operands(cfg, weights, conds, feeds, seed) + (
+        tr(weights["w_p1"]), tr(weights["w_p2"]), tr(weights["w_attg"]),
+        tr(weights["w_qp"]), tr(weights["vblk"]), tr(weights["w_ta"]),
+        tr(weights["w_l1"]), tr(weights["w_l2"]),
+        jnp.asarray(g_feat, jnp.float32),
+        g_align,
+        carries,
+    )
+    outs = _run_bwd(operands, cfg_key)
+    g = dict(zip(_GRAD_NAMES, outs))
+    g_weights = {
+        "w_p1": g["d_w_p1"], "b_p1": g["d_b_p1"][0],
+        "w_p2": g["d_w_p2"], "b_p2": g["d_b_p2"][0],
+        "w_attg": g["d_w_attg"], "b_attg": g["d_b_attg"][0],
+        "w_qp": g["d_w_qp"], "vblk": g["d_vblk"],
+        "w_ta": g["d_w_ta"], "b_ta": g["d_b_ta"][0],
+        "w_l1": g["d_w_l1"], "b_l1": g["d_b_l1"][0],
+        "w_l2": g["d_w_l2"], "b_l2": g["d_b_l2"][0],
+    }
+    g_conds = {
+        "keys": g["d_keys"],
+        "mem1": g["d_mem1"],
+        "score_bias": jnp.zeros_like(jnp.asarray(conds["score_bias"])),
+    }
+    if cfg["dual"]:
+        g_conds["mem2"] = g["d_mem2"]
+    elif conds.get("mem2") is not None:
+        g_conds["mem2"] = jnp.zeros_like(conds["mem2"])
+    if conds.get("spk") is not None:
+        g_conds["spk"] = g["d_spk"][:, : cfg["spk_dim"]]
+    # custom_vjp requires cotangent dtypes to match the primals (e.g.
+    # bf16 memories under bfloat16 compute; accumulators are f32)
+    g_weights = jax.tree.map(
+        lambda gg, w: gg.astype(jnp.asarray(w).dtype), g_weights, dict(weights)
+    )
+    g_conds = {
+        k: v.astype(jnp.asarray(conds[k]).dtype) for k, v in g_conds.items()
+    }
+    g_feeds = jnp.zeros_like(feeds)  # teacher frames are data, not params
+    return (g_weights, g_conds, g_feeds, jnp.zeros_like(jnp.asarray(seed)))
+
+
+_teacher_decode.defvjp(_teacher_decode_fwd, _teacher_decode_bwd)
+
+
+def teacher_decode(
+    *,
+    weights: Dict[str, jnp.ndarray],
+    keys: jnp.ndarray,            # (B, S, A1[+A2]) concatenated attention keys
+    mem1: jnp.ndarray,
+    mem2,                         # (B, S, E2) or None
+    score_bias: jnp.ndarray,      # (B, S) f32, 0 valid / NEG_INF padded
+    spk,                          # (B, SPK) or None
+    feeds: jnp.ndarray,           # (B, N, F) teacher feeds
+    seed,                         # () int32
+    hp_like: Dict,                # dims/flags: see cfg construction
+    interpret: bool = False,
+):
+    """Differentiable fused teacher-forced decode.
+
+    Returns (features (B, N, DU) f32, alignments (B, N, n_src·S) f32).
+    """
+    B, N, F = feeds.shape
+    S = keys.shape[1]
+    cfg = dict(
+        batch=B, src_len=S, num_steps=N, feed_dim=F,
+        dual=hp_like["dual"], use_ta=hp_like["use_ta"],
+        spk_dim=0 if spk is None else int(spk.shape[-1]),
+        prenet_units=tuple(hp_like["prenet_units"]),
+        att_units=hp_like["att_units"],
+        att1_units=hp_like["att1_units"], att2_units=hp_like["att2_units"],
+        dec_units=hp_like["dec_units"],
+        mem1_dim=int(mem1.shape[-1]),
+        mem2_dim=int(mem2.shape[-1]) if mem2 is not None else 8,
+        zoneout_cell=hp_like["zoneout_cell"],
+        zoneout_output=hp_like["zoneout_output"],
+        prenet_drop_rate=hp_like["prenet_drop_rate"],
+        io_dtype=hp_like["io_dtype"],
+        interpret=bool(interpret or FORCE_INTERPRET),
+    )
+    cfg_key = tuple(sorted(cfg.items()))
+    conds = {"keys": keys, "mem1": mem1, "score_bias": score_bias}
+    if mem2 is not None:
+        conds["mem2"] = mem2
+    if spk is not None:
+        conds["spk"] = spk
+    features, aligns = _teacher_decode(cfg_key, weights, conds, feeds, seed)
+    features = jnp.transpose(features, (1, 0, 2))     # (B, N, DU)
+    aligns = jnp.transpose(aligns, (1, 0, 2))         # (B, N, n_src·S)
+    return features, aligns

@@ -1,0 +1,325 @@
+"""Fused teacher-forced decode kernel (fwd + custom-VJP bwd) vs pure JAX.
+
+Runs both kernels in interpreter mode on CPU, float32, with dropout and
+zoneout disabled (deterministic), and checks:
+  * forward features/alignments match a hand-rolled lax.scan reference
+    implementing the identical math, and
+  * every gradient (weights, attention keys, memories, speaker embedding)
+    matches jax.grad of that reference.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from self_attention_tacotron_tpu.ops import fused_teacher
+
+
+def _dims(dual=True, use_ta=False, spk=0):
+    return dict(
+        B=2, S=16, N=6, F=10, P1=12, P2=8, AU=12,
+        A1=12, A2=6 if dual else 0, DU=12, E1=10, E2=9 if dual else 0,
+        dual=dual, use_ta=use_ta, SPK=spk,
+    )
+
+
+def _make_inputs(d, seed=0):
+    rng = np.random.RandomState(seed)
+    r = lambda *s: jnp.asarray(rng.randn(*s) * 0.3, jnp.float32)
+    a_tot = d["A1"] + d["A2"]
+    in_att = d["P2"] + d["SPK"] + d["E1"] + d["E2"] + d["AU"]
+    in1 = d["AU"] + d["E1"] + d["E2"] + d["DU"]
+    weights = dict(
+        w_p1=r(d["F"], d["P1"]), b_p1=r(d["P1"]),
+        w_p2=r(d["P1"], d["P2"]), b_p2=r(d["P2"]),
+        w_attg=r(in_att, 4 * d["AU"]), b_attg=r(4 * d["AU"]),
+        w_qp=r(d["AU"], a_tot),
+        vblk=jnp.asarray(
+            np.where(
+                (np.arange(a_tot)[:, None] < d["A1"])
+                == (np.arange(2 if d["dual"] else 1)[None, :] == 0),
+                rng.randn(a_tot, 2 if d["dual"] else 1) * 0.3,
+                0.0,
+            ),
+            jnp.float32,
+        ),
+        w_ta=r(d["E1"] + d["AU"], 1), b_ta=r(1),
+        w_l1=r(in1, 4 * d["DU"]), b_l1=r(4 * d["DU"]),
+        w_l2=r(2 * d["DU"], 4 * d["DU"]), b_l2=r(4 * d["DU"]),
+    )
+    conds = dict(
+        keys=r(d["B"], d["S"], a_tot),
+        mem1=r(d["B"], d["S"], d["E1"]),
+        mem2=r(d["B"], d["S"], d["E2"]) if d["dual"] else None,
+        spk=r(d["B"], d["SPK"]) if d["SPK"] else None,
+        score_bias=jnp.where(
+            jnp.arange(d["S"])[None, :] < d["S"] - 3, 0.0, -1e9
+        ).astype(jnp.float32).repeat(d["B"], axis=0).reshape(d["B"], d["S"]),
+    )
+    feeds = r(d["B"], d["N"], d["F"])
+    return weights, conds, feeds
+
+
+def _reference(weights, conds, feeds, d):
+    """lax.scan reference with the same math as the kernel (no RNG)."""
+    B, S, N = d["B"], d["S"], d["N"]
+
+    def lstm(xh, w, b, c, h):
+        z = xh @ w + b
+        u = z.shape[-1] // 4
+        i, g, f, o = z[:, :u], z[:, u:2*u], z[:, 2*u:3*u], z[:, 3*u:]
+        c_new = jax.nn.sigmoid(f + 1.0) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        return c_new, h_new
+
+    def step(carry, feed):
+        c_att, h_att, c1, h1, c2, h2, ctx1, ctx2, alpha, u = carry
+        x = jnp.maximum(feed @ weights["w_p1"] + weights["b_p1"], 0.0)
+        x = jnp.maximum(x @ weights["w_p2"] + weights["b_p2"], 0.0)
+        parts = [x]
+        if d["SPK"]:
+            parts.append(conds["spk"])
+        parts.append(ctx1)
+        if d["dual"]:
+            parts.append(ctx2)
+        parts.append(h_att)
+        att_in = jnp.concatenate(parts, axis=-1)
+        c_att, h_att = lstm(att_in, weights["w_attg"], weights["b_attg"], c_att, h_att)
+        query = h_att
+        qp = query @ weights["w_qp"]
+        tq = jnp.tanh(conds["keys"] + qp[:, None, :])
+        e2d = tq.reshape(B * S, -1) @ weights["vblk"]
+        e1 = e2d[:, 0].reshape(B, S) + conds["score_bias"]
+        y1 = jax.nn.softmax(e1, axis=-1)
+        shifted = jnp.pad(alpha, ((0, 0), (1, 0)))[:, :-1]
+        w_rec = (1.0 - u) * alpha + u * shifted + 1e-6
+        alpha_hat = w_rec * y1
+        alpha = alpha_hat / jnp.sum(alpha_hat, axis=-1, keepdims=True)
+        ctx1 = jnp.einsum("bs,bse->be", alpha, conds["mem1"])
+        if d["use_ta"]:
+            u = jax.nn.sigmoid(
+                jnp.concatenate([ctx1, query], -1) @ weights["w_ta"]
+                + weights["b_ta"]
+            )
+        if d["dual"]:
+            e2 = e2d[:, 1].reshape(B, S) + conds["score_bias"]
+            alpha2 = jax.nn.softmax(e2, axis=-1)
+            ctx2 = jnp.einsum("bs,bse->be", alpha2, conds["mem2"])
+        din1 = jnp.concatenate(
+            [query, ctx1] + ([ctx2] if d["dual"] else []) + [h1], -1
+        )
+        c1, h1 = lstm(din1, weights["w_l1"], weights["b_l1"], c1, h1)
+        din2 = jnp.concatenate([h1, h2], -1)
+        c2, h2 = lstm(din2, weights["w_l2"], weights["b_l2"], c2, h2)
+        feature = h1 + h2
+        aligns = jnp.concatenate([alpha, alpha2], -1) if d["dual"] else alpha
+        return (c_att, h_att, c1, h1, c2, h2, ctx1, ctx2, alpha, u), (
+            feature, aligns,
+        )
+
+    z = lambda *s: jnp.zeros(s, jnp.float32)
+    init_alpha = jnp.zeros((B, S)).at[:, 0].set(1.0)
+    init = (
+        z(B, d["AU"]), z(B, d["AU"]), z(B, d["DU"]), z(B, d["DU"]),
+        z(B, d["DU"]), z(B, d["DU"]), z(B, d["E1"]),
+        z(B, d["E2"]) if d["dual"] else z(B, 1),
+        init_alpha, jnp.full((B, 1), 0.5),
+    )
+    _, (features, aligns) = jax.lax.scan(step, init, jnp.swapaxes(feeds, 0, 1))
+    return jnp.swapaxes(features, 0, 1), jnp.swapaxes(aligns, 0, 1)
+
+
+def _hp_like(d):
+    return dict(
+        dual=d["dual"], use_ta=d["use_ta"],
+        prenet_units=(d["P1"], d["P2"]),
+        att_units=d["AU"], att1_units=d["A1"], att2_units=d["A2"],
+        dec_units=d["DU"], zoneout_cell=0.0, zoneout_output=0.0,
+        prenet_drop_rate=0.0, io_dtype="float32",
+    )
+
+
+def _run_kernel(weights, conds, feeds, d):
+    return fused_teacher.teacher_decode(
+        weights=weights,
+        keys=conds["keys"], mem1=conds["mem1"], mem2=conds["mem2"],
+        score_bias=conds["score_bias"], spk=conds["spk"],
+        feeds=feeds, seed=jnp.zeros((), jnp.int32),
+        hp_like=_hp_like(d), interpret=True,
+    )
+
+
+@pytest.mark.parametrize(
+    "dual,use_ta,spk",
+    [(True, False, 0), (True, True, 0), (True, False, 5), (False, False, 0)],
+)
+def test_forward_matches_reference(dual, use_ta, spk):
+    d = _dims(dual=dual, use_ta=use_ta, spk=spk)
+    weights, conds, feeds = _make_inputs(d)
+    feat_ref, align_ref = _reference(weights, conds, feeds, d)
+    feat, aligns = _run_kernel(weights, conds, feeds, d)
+    np.testing.assert_allclose(
+        np.asarray(feat), np.asarray(feat_ref), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(aligns), np.asarray(align_ref), atol=1e-5, rtol=1e-5
+    )
+
+
+@pytest.mark.parametrize(
+    "dual,use_ta,spk",
+    [(True, False, 0), (True, True, 0), (True, False, 5), (False, False, 0)],
+)
+def test_gradients_match_reference(dual, use_ta, spk):
+    d = _dims(dual=dual, use_ta=use_ta, spk=spk)
+    weights, conds, feeds = _make_inputs(d)
+    # a scalar loss touching both outputs with nontrivial weighting
+    wf = jnp.asarray(
+        np.random.RandomState(7).randn(d["B"], d["N"], d["DU"]), jnp.float32
+    )
+    wa = jnp.asarray(
+        np.random.RandomState(8).randn(
+            d["B"], d["N"], (2 if dual else 1) * d["S"]
+        ),
+        jnp.float32,
+    )
+
+    diff_conds = {
+        k: v for k, v in conds.items()
+        if v is not None and k != "score_bias"
+    }
+
+    def loss_ref(weights, dconds):
+        c = dict(conds, **dconds)
+        f, a = _reference(weights, c, feeds, d)
+        return jnp.sum(f * wf) + jnp.sum(a * wa)
+
+    def loss_kernel(weights, dconds):
+        c = dict(conds, **dconds)
+        f, a = fused_teacher.teacher_decode(
+            weights=weights,
+            keys=c["keys"], mem1=c["mem1"], mem2=c["mem2"],
+            score_bias=c["score_bias"], spk=c["spk"],
+            feeds=feeds, seed=jnp.zeros((), jnp.int32),
+            hp_like=_hp_like(d), interpret=True,
+        )
+        return jnp.sum(f * wf) + jnp.sum(a * wa)
+
+    ref_val, (g_w_ref, g_c_ref) = jax.value_and_grad(loss_ref, argnums=(0, 1))(
+        weights, diff_conds
+    )
+    got_val, (g_w, g_c) = jax.value_and_grad(loss_kernel, argnums=(0, 1))(
+        weights, diff_conds
+    )
+    np.testing.assert_allclose(float(got_val), float(ref_val), rtol=1e-5)
+    for k in g_w_ref:
+        if k in ("w_ta", "b_ta") and not use_ta:
+            continue  # unused by the reference; kernel returns zeros too
+        np.testing.assert_allclose(
+            np.asarray(g_w[k]), np.asarray(g_w_ref[k]),
+            atol=2e-4, rtol=1e-4, err_msg=f"weight grad {k}",
+        )
+    for k in g_c_ref:
+        np.testing.assert_allclose(
+            np.asarray(g_c[k]), np.asarray(g_c_ref[k]),
+            atol=2e-4, rtol=1e-4, err_msg=f"cond grad {k}",
+        )
+
+
+def test_stochastic_masks_are_finite_and_regenerated():
+    """With dropout+zoneout on, fwd runs and grads are finite (the masks
+    are regenerated in the backward from the same per-step seeds)."""
+    d = _dims(dual=True)
+    weights, conds, feeds = _make_inputs(d)
+    hp = _hp_like(d)
+    hp.update(prenet_drop_rate=0.5, zoneout_cell=0.1, zoneout_output=0.1)
+
+    def loss(weights):
+        f, a = fused_teacher.teacher_decode(
+            weights=weights,
+            keys=conds["keys"], mem1=conds["mem1"], mem2=conds["mem2"],
+            score_bias=conds["score_bias"], spk=conds["spk"],
+            feeds=feeds, seed=jnp.asarray(3, jnp.int32),
+            hp_like=hp, interpret=True,
+        )
+        return jnp.sum(f ** 2) + jnp.sum(a)
+
+    val, grads = jax.value_and_grad(loss)(weights)
+    assert np.isfinite(float(val))
+    flat = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    assert any(float(jnp.abs(g).max()) > 0 for g in flat)
+
+    # directional finite difference: the masks are a pure function of the
+    # seed, so d/dε loss(w + ε·v) must equal ⟨grad, v⟩ — this catches a
+    # backward that regenerates DIFFERENT masks than the forward used
+    rng = np.random.RandomState(11)
+    v = jax.tree.map(lambda w: jnp.asarray(rng.randn(*w.shape), jnp.float32), weights)
+    eps = 1e-3
+    wp = jax.tree.map(lambda w, vv: w + eps * vv, weights, v)
+    wm = jax.tree.map(lambda w, vv: w - eps * vv, weights, v)
+    fd = (float(loss(wp)) - float(loss(wm))) / (2 * eps)
+    dot = float(
+        sum(jnp.vdot(g, vv) for g, vv in zip(jax.tree.leaves(grads), jax.tree.leaves(v)))
+    )
+    np.testing.assert_allclose(fd, dot, rtol=5e-3, atol=5e-3)
+
+
+def test_decoder_integration_matches_xla_path(monkeypatch):
+    """Decoder.__call__ fast path (FORCE_INTERPRET) == the XLA scan path:
+    identical loss and parameter gradients with stochastic masks off."""
+    import flax
+    from self_attention_tacotron_tpu.models.models import tacotron_model_factory
+    from tests.test_models import tiny_hparams
+
+    hp = tiny_hparams(
+        tacotron_model="DualSourceSelfAttentionTacotronModel",
+        encoder="SelfAttentionCBHGEncoder",
+        decoder="DualSourceSelfAttentionDecoder",
+        attention="forward",
+        attention2="additive",
+        decoder_prenet_drop_rate=0.0,
+        encoder_prenet_drop_rate=0.0,
+        zoneout_factor_cell=0.0,
+        zoneout_factor_output=0.0,
+        decoder_self_attention_drop_rate=0.0,
+        self_attention_drop_rate=0.0,
+        compute_dtype="float32",
+    )
+    model = tacotron_model_factory(hp)
+    net = model.network(is_training=True)
+    B, S, T = 2, 12, 8
+    src = jnp.asarray(
+        np.random.RandomState(0).randint(2, hp.num_symbols, (B, S)), jnp.int32
+    )
+    sl = jnp.array([S, S - 4], jnp.int32)
+    mel = jnp.asarray(np.random.RandomState(1).rand(B, T, hp.num_mels), jnp.float32)
+    tl = jnp.full((B,), T, jnp.int32)
+    rngs = {k: jax.random.PRNGKey(i) for i, k in enumerate(["params", "dropout", "zoneout"])}
+    variables = net.init(rngs, src, sl, mel, tl)
+    batch = {"mel": mel, "target_lengths": tl, "done": jnp.zeros((B, T))}
+
+    def loss_fn(p):
+        vs = dict(variables, params=p)
+        out, _ = net.apply(
+            vs, src, sl, mel, tl,
+            rngs={"dropout": jax.random.PRNGKey(5), "zoneout": jax.random.PRNGKey(6)},
+            mutable=["batch_stats"],
+        )
+        return model.loss(out, batch, params=p)["loss"]
+
+    ref_loss, ref_grads = jax.value_and_grad(loss_fn)(variables["params"])
+
+    monkeypatch.setattr(fused_teacher, "FORCE_INTERPRET", True)
+    got_loss, got_grads = jax.value_and_grad(loss_fn)(variables["params"])
+
+    np.testing.assert_allclose(float(got_loss), float(ref_loss), rtol=1e-5)
+    flat_ref = flax.traverse_util.flatten_dict(ref_grads)
+    flat_got = flax.traverse_util.flatten_dict(got_grads)
+    assert set(flat_ref) == set(flat_got)
+    for k in flat_ref:
+        np.testing.assert_allclose(
+            np.asarray(flat_got[k]), np.asarray(flat_ref[k]),
+            atol=3e-4, rtol=2e-4, err_msg="/".join(k),
+        )
