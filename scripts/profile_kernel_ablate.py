@@ -67,14 +67,28 @@ def main():
         "none", "sa", "srcattn", "prenet"
     ]
     results = {}
+    conds = {B: cond}
     for spec in variants:
-        # variant spec: "<ablate>" or "<ablate>:ch<chunk>" e.g. "none:ch64"
-        ablate, _, ch = spec.partition(":ch")
-        chunk = int(ch) if ch else 64
+        # spec: "<ablate>[:ch<chunk>][:b<batch>]" e.g. "none:ch64:b64"
+        parts = spec.split(":")
+        ablate, chunk, bsz = parts[0], 64, B
+        for part in parts[1:]:
+            if part.startswith("ch"):
+                chunk = int(part[2:])
+            elif part.startswith("b"):
+                bsz = int(part[1:])
+        if bsz not in conds:
+            src_b = jnp.tile(source, (bsz // B + 1, 1))[:bsz]
+            len_b = jnp.full((bsz,), S, jnp.int32)
+            conds[bsz], _ = net.apply(
+                variables, src_b, len_b, None, None,
+                method=TacotronNetwork.encode,
+                rngs={"dropout": jax.random.PRNGKey(3)},
+            )
 
-        def run(seed, ablate=ablate, chunk=chunk):
+        def run(seed, ablate=ablate, chunk=chunk, bsz=bsz):
             return fused_decode(
-                variables=variables, cond=cond, hp=hp, batch=B,
+                variables=variables, cond=conds[bsz], hp=hp, batch=bsz,
                 max_iters=MAX_ITERS, seed=seed, ablate=ablate,
                 cache_chunk=chunk,
             )

@@ -388,12 +388,42 @@ _BWD_EXTRA_REF_NAMES = (
     "w_p1T", "w_p2T", "w_attgT", "w_qpT", "vblkT", "w_taT", "w_l1T", "w_l2T",
 )
 
-_GRAD_NAMES = (
-    "d_w_p1", "d_b_p1", "d_w_p2", "d_b_p2",
-    "d_w_attg", "d_b_attg", "d_w_qp", "d_vblk", "d_w_ta", "d_b_ta",
-    "d_w_l1", "d_b_l1", "d_w_l2", "d_b_l2",
-    "d_keys", "d_mem1", "d_mem2", "d_spk",
-)
+_GRAD_NAMES = ("d_keys", "d_vblk", "d_spk")
+
+
+def _stack_layout(cfg):
+    """Per-step gradient-stack row layout (exported to HBM).
+
+    Weight gradients are NOT accumulated in-kernel: the per-step
+    contractions are only B deep (MXU-underutilized) and the f32
+    accumulators cost ~21 MB of VMEM traffic per step. Instead the
+    backward exports these per-step gradient vectors (plus the two
+    prenet activations that are not in the carries) and the wrapper
+    batches every weight-grad matmul outside the kernel as ONE
+    (N·B)-deep MXU contraction against inputs reconstructed from the
+    carries residual.
+    """
+    P1, P2 = cfg["prenet_units"]
+    AU, DU = cfg["att_units"], cfg["dec_units"]
+    E1 = cfg["mem1_dim"]
+    E2 = cfg["mem2_dim"] if cfg["dual"] else 0
+    fields = [
+        ("x1", P1), ("x2", P2),
+        ("g_z_att", 4 * AU), ("g_z1", 4 * DU), ("g_z2", 4 * DU),
+        ("g_x2pre", P2), ("g_x1pre", P1),
+        ("g_qp", cfg["att1_units"] + (cfg["att2_units"] if cfg["dual"] else 0)),
+        ("g_ctx1", E1),
+    ]
+    if cfg["dual"]:
+        fields.append(("g_ctx2", E2))
+    if cfg["use_ta"]:
+        fields.append(("g_u_pre", 1))
+    layout = {}
+    off = 0
+    for name, width in fields:
+        layout[name] = (off, width)
+        off += width
+    return layout, _ceil128(off)
 
 
 def _make_bwd_kernel(cfg):
@@ -409,6 +439,8 @@ def _make_bwd_kernel(cfg):
     E2 = cfg["mem2_dim"] if dual else 0
     keep = 1.0 - cfg["prenet_drop_rate"]
     layout, c_pad = _carry_layout(cfg)
+    slayout, k_pad = _stack_layout(cfg)
+    s_width = max(off + w for off, w in slayout.values())
     align_w = (2 if dual else 1) * S
     stochastic = cfg["prenet_drop_rate"] > 0.0 or (
         cfg["zoneout_cell"] > 0.0 or cfg["zoneout_output"] > 0.0
@@ -434,7 +466,8 @@ def _make_bwd_kernel(cfg):
         carry_hbm = args[pos]; pos += 1       # (N, B, c_pad) f32 ANY
         grads = dict(zip(_GRAD_NAMES, args[pos : pos + len(_GRAD_NAMES)]))
         pos += len(_GRAD_NAMES)
-        carry_buf, carry_sem = args[pos], args[pos + 1]
+        stack_hbm = args[pos]; pos += 1       # (N, B, k_pad) f32 ANY out
+        carry_buf, carry_sem, stack_row, stack_sem = args[pos : pos + 4]
 
         recompute, seed_step = _make_step_fns(cfg, refs)
 
@@ -442,8 +475,9 @@ def _make_bwd_kernel(cfg):
         for name in _GRAD_NAMES:
             grads[name][:] = jnp.zeros(grads[name].shape, jnp.float32)
 
-        def lstm_bwd(it, g_c_out, g_h_out, c_prev, w_T, d_w, d_b):
-            """Returns (g_xh, g_c_prev, g_h_prev) and accumulates weight grads."""
+        def lstm_bwd(it, g_c_out, g_h_out, c_prev, w_T):
+            """Returns (g_z, g_xh, g_c_prev, g_h_prev); the weight grad is
+            batched outside the kernel from the exported g_z stack."""
             mc, mh = it["mc"], it["mh"]
             if mc is not None:
                 g_c_new = g_c_out * (1.0 - mc)
@@ -464,12 +498,10 @@ def _make_bwd_kernel(cfg):
             g_i_pre = g_c_new * tg * si * (1.0 - si)
             g_g_pre = g_c_new * si * (1.0 - tg * tg)
             g_z = jnp.concatenate([g_i_pre, g_g_pre, g_f_pre, g_o_pre], axis=-1)
-            d_w[:] = d_w[:] + dTb(it["xh"], g_z)
-            d_b[:] = d_b[:] + jnp.sum(g_z, axis=0, keepdims=True)
             g_xh = jnp.dot(
                 g_z.astype(io_dtype), w_T[:], preferred_element_type=jnp.float32
             )
-            return g_xh, g_c_prev, g_h_prev
+            return g_z, g_xh, g_c_prev, g_h_prev
 
         def softmax_bwd(a, g_a):
             return a * (g_a - jnp.sum(g_a * a, axis=-1, keepdims=True))
@@ -528,17 +560,15 @@ def _make_bwd_kernel(cfg):
             g_alpha2_ext = g_align_ref[t][:, S : 2 * S] if dual else None
 
             # ---- LSTM2 ----
-            g_din2, g_c2_prev, g_h2_prev = lstm_bwd(
-                it["l2"], g_c2, g_h2_out, cin["c2"],
-                refs["w_l2T"], grads["d_w_l2"], grads["d_b_l2"],
+            g_z2, g_din2, g_c2_prev, g_h2_prev = lstm_bwd(
+                it["l2"], g_c2, g_h2_out, cin["c2"], refs["w_l2T"]
             )
             g_h1_out = g_h1_out + g_din2[:, :DU]
             g_h2_prev = g_h2_prev + g_din2[:, DU:]
 
             # ---- LSTM1 ----
-            g_din1, g_c1_prev, g_h1_prev = lstm_bwd(
-                it["l1"], g_c1, g_h1_out, cin["c1"],
-                refs["w_l1T"], grads["d_w_l1"], grads["d_b_l1"],
+            g_z1, g_din1, g_c1_prev, g_h1_prev = lstm_bwd(
+                it["l1"], g_c1, g_h1_out, cin["c1"], refs["w_l1T"]
             )
             g_query = g_din1[:, :AU]
             g_ctx1 = g_ctx1_c + g_din1[:, AU : AU + E1]
@@ -553,10 +583,6 @@ def _make_bwd_kernel(cfg):
             if use_ta:
                 u_new = it["u_new"]
                 g_u_pre = g_u_c * u_new * (1.0 - u_new)
-                grads["d_w_ta"][:] = grads["d_w_ta"][:] + dTb(it["ta_in"], g_u_pre)
-                grads["d_b_ta"][:] = grads["d_b_ta"][:] + jnp.sum(
-                    g_u_pre, axis=0, keepdims=True
-                )
                 g_ta = jnp.dot(
                     g_u_pre.astype(io_dtype), refs["w_taT"][:],
                     preferred_element_type=jnp.float32,
@@ -573,9 +599,6 @@ def _make_bwd_kernel(cfg):
                 g_alpha2 = jnp.sum(g_ctx2[:, None, :] * mem2f, axis=-1)
                 if g_alpha2_ext is not None:
                     g_alpha2 = g_alpha2 + g_alpha2_ext
-                grads["d_mem2"][:] = grads["d_mem2"][:] + (
-                    it["alpha2"][:, :, None] * g_ctx2[:, None, :]
-                )
                 g_e2 = softmax_bwd(it["alpha2"], g_alpha2)
             else:
                 g_e2 = None
@@ -584,9 +607,6 @@ def _make_bwd_kernel(cfg):
             mem1f = refs["mem1"][:].astype(jnp.float32)
             g_alpha1_tot = g_alpha1_tot + jnp.sum(
                 g_ctx1[:, None, :] * mem1f, axis=-1
-            )
-            grads["d_mem1"][:] = grads["d_mem1"][:] + (
-                it["alpha1"][:, :, None] * g_ctx1[:, None, :]
             )
             g_ahat = (
                 g_alpha1_tot
@@ -622,7 +642,6 @@ def _make_bwd_kernel(cfg):
             g_pre = (g_tq * (1.0 - tq2d * tq2d)).reshape(B, S, a_tot)
             grads["d_keys"][:] = grads["d_keys"][:] + g_pre
             g_qp = jnp.sum(g_pre, axis=1)
-            grads["d_w_qp"][:] = grads["d_w_qp"][:] + dTb(it["query"], g_qp)
             g_query = g_query + jnp.dot(
                 g_qp.astype(io_dtype), refs["w_qpT"][:],
                 preferred_element_type=jnp.float32,
@@ -630,9 +649,8 @@ def _make_bwd_kernel(cfg):
 
             # ---- attention LSTM ----
             g_h_att_out = g_h_att + g_query
-            g_att_in, g_c_att_prev, g_h_att_prev = lstm_bwd(
-                it["att"], g_c_att, g_h_att_out, cin["c_att"],
-                refs["w_attgT"], grads["d_w_attg"], grads["d_b_attg"],
+            g_z_att, g_att_in, g_c_att_prev, g_h_att_prev = lstm_bwd(
+                it["att"], g_c_att, g_h_att_out, cin["c_att"], refs["w_attgT"]
             )
             off = 0
             g_x2 = g_att_in[:, :P2]; off = P2
@@ -650,10 +668,6 @@ def _make_bwd_kernel(cfg):
             if it["m2"] is not None:
                 g_x2 = g_x2 * it["m2"] * (1.0 / keep)
             g_x2_pre = g_x2 * (it["x2_pre"] > 0.0).astype(jnp.float32)
-            grads["d_w_p2"][:] = grads["d_w_p2"][:] + dTb(it["x1"], g_x2_pre)
-            grads["d_b_p2"][:] = grads["d_b_p2"][:] + jnp.sum(
-                g_x2_pre, axis=0, keepdims=True
-            )
             g_x1 = jnp.dot(
                 g_x2_pre.astype(io_dtype), refs["w_p2T"][:],
                 preferred_element_type=jnp.float32,
@@ -661,13 +675,36 @@ def _make_bwd_kernel(cfg):
             if it["m1"] is not None:
                 g_x1 = g_x1 * it["m1"] * (1.0 / keep)
             g_x1_pre = g_x1 * (it["x1_pre"] > 0.0).astype(jnp.float32)
-            grads["d_w_p1"][:] = grads["d_w_p1"][:] + dTb(
-                feed.astype(jnp.float32), g_x1_pre
-            )
-            grads["d_b_p1"][:] = grads["d_b_p1"][:] + jnp.sum(
-                g_x1_pre, axis=0, keepdims=True
-            )
             # feed gradient unused: teacher frames are ground-truth data
+
+            # ---- export the per-step gradient-stack row ----
+            svals = dict(
+                x1=it["x1"], x2=it["x2"],
+                g_z_att=g_z_att, g_z1=g_z1, g_z2=g_z2,
+                g_x2pre=g_x2_pre, g_x1pre=g_x1_pre, g_qp=g_qp,
+                g_ctx1=g_ctx1,
+            )
+            if dual:
+                svals["g_ctx2"] = g_ctx2
+            if use_ta:
+                svals["g_u_pre"] = g_u_pre
+            srow = jnp.concatenate([svals[n] for n in slayout], axis=-1)
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    stack_row.at[pl.ds(slot, 1)],
+                    stack_hbm.at[pl.ds(t + 2, 1)],
+                    stack_sem.at[slot],
+                ).wait()
+
+            stack_row[slot] = jnp.pad(srow, ((0, 0), (0, k_pad - s_width)))
+            pltpu.make_async_copy(
+                stack_row.at[pl.ds(slot, 1)],
+                stack_hbm.at[pl.ds(t, 1)],
+                stack_sem.at[slot],
+            ).start()
 
             return (
                 g_c_att_prev, g_h_att_prev, g_c1_prev, g_h1_prev,
@@ -682,6 +719,12 @@ def _make_bwd_kernel(cfg):
             z(B, E1), z(B, e2w), z(B, S), z(B, 1),
         )
         jax.lax.fori_loop(0, N, step, init)
+        for slot in range(min(N, 2)):
+            pltpu.make_async_copy(
+                stack_row.at[slot : slot + 1],
+                stack_hbm.at[pl.ds(0, 1)],
+                stack_sem.at[slot],
+            ).wait()
 
     return kernel, c_pad, _ceil128(align_w)
 
@@ -734,39 +777,19 @@ def _run_fwd(operands: Tuple, cfg_key: Tuple):
 def _run_bwd(operands: Tuple, cfg_key: Tuple):
     cfg = dict(cfg_key)
     kernel, c_pad, _ = _make_bwd_kernel(cfg)
-    B, S = cfg["batch"], cfg["src_len"]
-    AU, DU = cfg["att_units"], cfg["dec_units"]
-    P1, P2 = cfg["prenet_units"]
+    B, S, N = cfg["batch"], cfg["src_len"], cfg["num_steps"]
     A1 = cfg["att1_units"]
     dual = cfg["dual"]
     a_tot = A1 + (cfg["att2_units"] if dual else 0)
-    E1 = cfg["mem1_dim"]
-    E2 = cfg["mem2_dim"] if dual else 0
     SPK = cfg["spk_dim"]
-    F = cfg["feed_dim"]
-    in_att = P2 + SPK + E1 + E2 + AU
-    in1 = AU + E1 + E2 + DU
     n_src = 2 if dual else 1
+    _, k_pad = _stack_layout(cfg)
 
     out_shapes = (
-        jax.ShapeDtypeStruct((F, P1), jnp.float32),       # d_w_p1
-        jax.ShapeDtypeStruct((1, P1), jnp.float32),
-        jax.ShapeDtypeStruct((P1, P2), jnp.float32),
-        jax.ShapeDtypeStruct((1, P2), jnp.float32),
-        jax.ShapeDtypeStruct((in_att, 4 * AU), jnp.float32),
-        jax.ShapeDtypeStruct((1, 4 * AU), jnp.float32),
-        jax.ShapeDtypeStruct((AU, a_tot), jnp.float32),   # d_w_qp
+        jax.ShapeDtypeStruct((B, S, a_tot), jnp.float32),   # d_keys
         jax.ShapeDtypeStruct((a_tot, n_src), jnp.float32),  # d_vblk
-        jax.ShapeDtypeStruct((E1 + AU, 1), jnp.float32),  # d_w_ta
-        jax.ShapeDtypeStruct((1, 1), jnp.float32),
-        jax.ShapeDtypeStruct((in1, 4 * DU), jnp.float32),
-        jax.ShapeDtypeStruct((1, 4 * DU), jnp.float32),
-        jax.ShapeDtypeStruct((2 * DU, 4 * DU), jnp.float32),
-        jax.ShapeDtypeStruct((1, 4 * DU), jnp.float32),
-        jax.ShapeDtypeStruct((B, S, a_tot), jnp.float32),  # d_keys
-        jax.ShapeDtypeStruct((B, S, E1), jnp.float32),     # d_mem1
-        jax.ShapeDtypeStruct((B, S, max(E2, 1)), jnp.float32),
-        jax.ShapeDtypeStruct((B, max(SPK, 1)), jnp.float32),
+        jax.ShapeDtypeStruct((B, max(SPK, 1)), jnp.float32),  # d_spk
+        jax.ShapeDtypeStruct((N, B, k_pad), jnp.float32),   # gradient stacks
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -775,12 +798,17 @@ def _run_bwd(operands: Tuple, cfg_key: Tuple):
             _vmem_specs(len(operands) - 2)
             + [pl.BlockSpec(memory_space=pl.ANY)]   # carries (HBM)
         ),
-        out_specs=tuple(
-            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in out_shapes
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),      # stacks (HBM)
         ),
         scratch_shapes=[
             pltpu.VMEM((1, B, c_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((1,)),
+            pltpu.VMEM((2, B, k_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -839,13 +867,16 @@ def _teacher_decode_fwd(cfg_key, weights, conds, feeds, seed):
     features, aligns, carries = _run_fwd(operands, cfg_key)
     S = cfg["src_len"]
     n_src = 2 if cfg["dual"] else 1
-    out = (features, aligns[..., : n_src * S])
-    return out, (weights, conds, feeds, seed, carries)
+    aligns = aligns[..., : n_src * S]
+    out = (features, aligns)
+    # aligns are residuals too: the outside-batched d_mem einsums use the
+    # per-step alignment stacks (bitwise equal to the bwd recompute)
+    return out, (weights, conds, feeds, seed, carries, aligns)
 
 
 def _teacher_decode_bwd(cfg_key, residuals, cotangents):
     cfg = dict(cfg_key)
-    weights, conds, feeds, seed, carries = residuals
+    weights, conds, feeds, seed, carries, aligns = residuals
     g_feat, g_align = cotangents
     S = cfg["src_len"]
     n_src = 2 if cfg["dual"] else 1
@@ -870,22 +901,105 @@ def _teacher_decode_bwd(cfg_key, residuals, cotangents):
     )
     outs = _run_bwd(operands, cfg_key)
     g = dict(zip(_GRAD_NAMES, outs))
+    stacks = outs[-1]
+
+    # ---- batched weight gradients from the exported per-step stacks ----
+    # Inputs reconstruct from the carries residual (state at step t-1/t);
+    # contraction over all N·B step-examples rides the MXU in one op per
+    # weight instead of N underutilized B-deep passes inside the kernel.
+    clayout, _ = _carry_layout(cfg)
+    slayout, _ = _stack_layout(cfg)
+    dual = cfg["dual"]
+    use_ta = cfg["use_ta"]
+
+    def ccol(arr, name):
+        off, w = clayout[name]
+        return arr[..., off : off + w]
+
+    def scol(name):
+        off, w = slayout[name]
+        return stacks[..., off : off + w]
+
+    prev = jnp.concatenate(
+        [jnp.zeros_like(carries[:1]), carries[:-1]], axis=0
+    )
+    f32 = jnp.float32
+    mm = (
+        (lambda x: x.astype(jnp.bfloat16))
+        if cfg["io_dtype"] == "bfloat16"
+        else (lambda x: x.astype(f32))
+    )
+
+    def dT(x_nbi, g_nbo):
+        n, b = x_nbi.shape[:2]
+        return jax.lax.dot_general(
+            mm(x_nbi.reshape(n * b, -1)), mm(g_nbo.reshape(n * b, -1)),
+            (((0,), (0,)), ((), ())), preferred_element_type=f32,
+        )
+
+    def bsum(g_nbo):
+        return jnp.sum(g_nbo, axis=(0, 1))
+
+    spk = conds.get("spk")
+    att_parts = [scol("x2")]
+    if cfg["spk_dim"]:
+        att_parts.append(
+            jnp.broadcast_to(
+                jnp.asarray(spk, f32)[None], (carries.shape[0],) + spk.shape
+            )
+        )
+    att_parts += [ccol(prev, "ctx1")]
+    if dual:
+        att_parts.append(ccol(prev, "ctx2"))
+    att_parts.append(ccol(prev, "h_att"))
+    att_in = jnp.concatenate(att_parts, axis=-1)
+    g_z_att = scol("g_z_att")
+
+    h_att_t = ccol(carries, "h_att")
+    din1 = jnp.concatenate(
+        [h_att_t, ccol(carries, "ctx1")]
+        + ([ccol(carries, "ctx2")] if dual else [])
+        + [ccol(prev, "h1")],
+        axis=-1,
+    )
+    din2 = jnp.concatenate(
+        [ccol(carries, "h1"), ccol(prev, "h2")], axis=-1
+    )
+    feeds_nb = jnp.transpose(jnp.asarray(feeds, f32), (1, 0, 2))
+
     g_weights = {
-        "w_p1": g["d_w_p1"], "b_p1": g["d_b_p1"][0],
-        "w_p2": g["d_w_p2"], "b_p2": g["d_b_p2"][0],
-        "w_attg": g["d_w_attg"], "b_attg": g["d_b_attg"][0],
-        "w_qp": g["d_w_qp"], "vblk": g["d_vblk"],
-        "w_ta": g["d_w_ta"], "b_ta": g["d_b_ta"][0],
-        "w_l1": g["d_w_l1"], "b_l1": g["d_b_l1"][0],
-        "w_l2": g["d_w_l2"], "b_l2": g["d_b_l2"][0],
+        "w_p1": dT(feeds_nb, scol("g_x1pre")), "b_p1": bsum(scol("g_x1pre")),
+        "w_p2": dT(scol("x1"), scol("g_x2pre")), "b_p2": bsum(scol("g_x2pre")),
+        "w_attg": dT(att_in, g_z_att), "b_attg": bsum(g_z_att),
+        "w_qp": dT(h_att_t, scol("g_qp")), "vblk": g["d_vblk"],
+        "w_l1": dT(din1, scol("g_z1")), "b_l1": bsum(scol("g_z1")),
+        "w_l2": dT(din2, scol("g_z2")), "b_l2": bsum(scol("g_z2")),
     }
+    if use_ta:
+        ta_in = jnp.concatenate([ccol(carries, "ctx1"), h_att_t], axis=-1)
+        g_weights["w_ta"] = dT(ta_in, scol("g_u_pre"))
+        g_weights["b_ta"] = bsum(scol("g_u_pre"))
+    else:
+        g_weights["w_ta"] = jnp.zeros_like(jnp.asarray(weights["w_ta"], f32))
+        g_weights["b_ta"] = jnp.zeros_like(jnp.asarray(weights["b_ta"], f32))
+
+    # d_mem from alignment × exported context-gradient stacks
+    alpha1_s = aligns[..., :S]
+    d_mem1 = jnp.einsum(
+        "nbs,nbe->bse", mm(alpha1_s), mm(scol("g_ctx1")),
+        preferred_element_type=f32,
+    )
     g_conds = {
         "keys": g["d_keys"],
-        "mem1": g["d_mem1"],
+        "mem1": d_mem1,
         "score_bias": jnp.zeros_like(jnp.asarray(conds["score_bias"])),
     }
-    if cfg["dual"]:
-        g_conds["mem2"] = g["d_mem2"]
+    if dual:
+        alpha2_s = aligns[..., S : 2 * S]
+        g_conds["mem2"] = jnp.einsum(
+            "nbs,nbe->bse", mm(alpha2_s), mm(scol("g_ctx2")),
+            preferred_element_type=f32,
+        )
     elif conds.get("mem2") is not None:
         g_conds["mem2"] = jnp.zeros_like(conds["mem2"])
     if conds.get("spk") is not None:
