@@ -93,6 +93,30 @@ def supports_fused_decode(hp) -> bool:
     )
 
 
+def fused_decode_fits(hp, batch: int, max_iters: int, src_len: int) -> bool:
+    """VMEM-budget check for the auto path: the decoder-SA K/V caches
+    scale with batch × max_iters and blow the scoped-VMEM limit around
+    batch 128 at the flagship shapes (measured: 100.5 MB > 100 MB on
+    v5e). Auto selection falls back to the XLA loop instead of failing
+    to compile; an explicit ``use_fused=True`` still tries the kernel.
+    """
+    if hp.decoder not in _FUSED_DECODERS:
+        return False
+    _, use_sa = _FUSED_DECODERS[hp.decoder]
+    itemsize = 2 if hp.compute_dtype == "bfloat16" else 4
+    b_pad = max(batch, 8)
+    budget = 80 * 1024 * 1024
+    kv = (
+        2 * ((max_iters + 63) // 64) * 64 * b_pad
+        * hp.decoder_self_attention_out_units * itemsize
+        if use_sa else 0
+    )
+    # conditioning tensors (keys + 2 memories) + output DMA rings
+    cond = 3 * b_pad * src_len * 256 * itemsize
+    rings = 4 * b_pad * 512 * 4
+    return kv + cond + rings < budget
+
+
 def _lstm_gate(x_h: jnp.ndarray, w, b, c, h, zc: float, zo: float):
     """Fused-gate ZoneoutLSTM step (eval semantics), f32 state."""
     z = jnp.dot(x_h, w[:], preferred_element_type=jnp.float32) + b[:].astype(

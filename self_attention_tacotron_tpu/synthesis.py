@@ -44,6 +44,7 @@ def make_predict_fn(
 
     from self_attention_tacotron_tpu.ops.fused_decode import (
         fused_decode,
+        fused_decode_fits,
         supports_fused_decode,
     )
 
@@ -52,7 +53,8 @@ def make_predict_fn(
     max_steps = int(max_iters or hp.max_iters)
     r = hp.outputs_per_step
     on_cpu = _jax.default_backend() == "cpu"
-    if use_fused is None:
+    auto_mode = use_fused is None
+    if auto_mode:
         use_fused = hp.use_pallas_kernels and supports_fused_decode(hp) and not on_cpu
     elif use_fused and not supports_fused_decode(hp):
         raise ValueError("configuration not supported by the fused decode kernel")
@@ -80,7 +82,14 @@ def make_predict_fn(
                 teacher_ratio=src_len.astype(jnp.float32) / dec_steps.astype(jnp.float32)
             )
 
-        if use_fused:
+        # batch/length are static at trace time: in auto mode, very large
+        # batches whose SA K/V caches would blow the kernel's VMEM budget
+        # fall back to the XLA loop instead of failing to compile
+        use_fused_here = use_fused and (
+            not auto_mode
+            or fused_decode_fits(hp, batch_size, max_steps, src_max)
+        )
+        if use_fused_here:
             seed = jax.random.randint(dec_rng, (), 0, jnp.iinfo(jnp.int32).max)
             result = DecodeResult(
                 **fused_decode(

@@ -399,3 +399,23 @@ def test_fused_matches_xla_with_r3_and_postnets():
     np.testing.assert_allclose(
         np.asarray(got["linear"]), np.asarray(ref["linear"]), atol=5e-3, rtol=1e-3
     )
+
+
+def test_fused_decode_vmem_budget_gating():
+    """Auto path falls back to the XLA loop when the SA K/V caches would
+    blow the kernel's VMEM budget (measured: batch 128 at the flagship
+    shapes exceeds the 100 MB scoped limit on v5e)."""
+    from self_attention_tacotron_tpu.ops.fused_decode import fused_decode_fits
+
+    hp = tiny_hparams(
+        decoder="DualSourceSelfAttentionDecoder",
+        attention="forward",
+        attention2="additive",
+        compute_dtype="bfloat16",
+        decoder_self_attention_out_units=256,  # flagship bench size
+    )
+    assert fused_decode_fits(hp, 32, 500, 128)
+    assert fused_decode_fits(hp, 64, 500, 128)
+    assert not fused_decode_fits(hp, 128, 500, 128)
+    hp.decoder = "ExtendedDecoder"  # no decoder SA: caches are tiny
+    assert fused_decode_fits(hp, 256, 500, 128)
