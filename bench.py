@@ -509,6 +509,18 @@ def main():
             "value": round(dev_fps, 1),
             "unit": "frames/sec",
             "vs_baseline": round(dev_fps / CPU_BASELINE_FRAMES_PER_SEC, 2),
+            # both clock domains, so the JSON is self-describing: the
+            # headline divides TPU *device-busy* throughput by the CPU
+            # stand-in's wall throughput (valid because idle-host wall ≈
+            # device — BASELINE.md protocol); the wall/wall ratio is the
+            # conservative same-domain number.
+            "vs_baseline_device_time": round(
+                dev_fps / CPU_BASELINE_FRAMES_PER_SEC, 2
+            ),
+            "vs_baseline_wall": round(
+                result["frames_per_sec"] / CPU_BASELINE_FRAMES_PER_SEC, 2
+            ),
+            "wall_frames_per_sec": round(result["frames_per_sec"], 1),
         }
     else:
         record = {
@@ -516,6 +528,9 @@ def main():
             "value": round(result["frames_per_sec"], 1),
             "unit": "frames/sec",
             "vs_baseline": round(
+                result["frames_per_sec"] / CPU_BASELINE_FRAMES_PER_SEC, 2
+            ),
+            "vs_baseline_wall": round(
                 result["frames_per_sec"] / CPU_BASELINE_FRAMES_PER_SEC, 2
             ),
         }

@@ -333,14 +333,36 @@ class Decoder(nn.Module):
             return False
         if len(mechs) == 2 and not isinstance(mechs[1], AdditiveAttention):
             return False
-        if cond.memories[0].shape[0] < 8:
+        if cond.memories[0].shape[0] < 8 and not fused_teacher.FORCE_INTERPRET:
             # Mosaic reductions misbehave below the f32 sublane tile; the
-            # AR kernel pads small batches but training batches are large
+            # AR kernel pads small batches but training batches are large.
+            # Interpret mode (CPU tests) has no such tile restriction — and
+            # must not skip the kernel, or the parity tests go vacuous.
             return False
         return (
             len(self.prenet_out_units) == 2
             and self.num_decoder_layers == 2
             and self.n_feed_frame >= 1
+        )
+
+    def _fused_teacher_fits(self, cond: DecoderConditioning, feeds) -> bool:
+        """VMEM-budget gate: large batch × steps falls back to the XLA scan
+        (same role as fused_decode_fits on the inference path)."""
+        from self_attention_tacotron_tpu.ops import fused_teacher
+
+        dual = len(self.attention_mechs) == 2
+        mem_dims = sum(int(m.shape[-1]) for m in cond.memories)
+        key_dim = sum(int(k.shape[-1]) for k in cond.keys)
+        return fused_teacher.fused_teacher_fits(
+            batch=int(feeds.shape[0]),
+            num_steps=int(feeds.shape[1]),
+            src_len=int(cond.memories[0].shape[1]),
+            feed_dim=int(feeds.shape[2]),
+            dec_units=self.decoder_out_units,
+            mem_dims=mem_dims,
+            key_dim=key_dim,
+            io_bytes=2 if self.dtype == jnp.bfloat16 else 4,
+            dual=dual,
         )
 
     def _fused_teacher_call(self, cond: DecoderConditioning, feeds):
@@ -393,9 +415,18 @@ class Decoder(nn.Module):
             if mask is not None
             else jnp.zeros(cond.memories[0].shape[:2], jnp.float32)
         )
-        seed = jax.random.randint(
-            self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max
+        # Only draw an rng when something stochastic runs in-kernel: a fully
+        # deterministic config (prenet_drop_rate=0, zoneout=0) must not
+        # require apply() to provide a dropout rng (ADVICE r2).
+        stochastic = self.prenet_drop_rate > 0.0 or (
+            self.zoneout_factor_cell > 0.0 or self.zoneout_factor_output > 0.0
         )
+        if stochastic:
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max
+            )
+        else:
+            seed = jnp.zeros((), jnp.int32)
         s = cond.memories[0].shape[1]
         # the kernel concatenates the speaker embedding AFTER the prenet,
         # matching Decoder.step
@@ -462,7 +493,9 @@ class Decoder(nn.Module):
         different bitstream).
         """
         feeds = self.make_teacher_feeds(targets)
-        if self._fused_teacher_supported(cond):
+        if self._fused_teacher_supported(cond) and self._fused_teacher_fits(
+            cond, feeds
+        ):
             return self._fused_teacher_call(cond, feeds)
         state = self.initial_state(cond)
         b, n = feeds.shape[:2]

@@ -86,6 +86,31 @@ def _keep_u32(p: float) -> np.uint32:
     return np.uint32(min(int(p * 2**32), 2**32 - 1))
 
 
+def fused_teacher_fits(
+    *, batch: int, num_steps: int, src_len: int, feed_dim: int,
+    dec_units: int, mem_dims: int, key_dim: int, io_bytes: int, dual: bool,
+) -> bool:
+    """VMEM-budget check for the training fast path (ADVICE r2, medium).
+
+    The backward kernel keeps the (N, B, ·) feeds, feature/alignment
+    cotangents, the conditioning tensors, and the d_keys accumulator
+    VMEM-resident under the 100 MB scoped limit; large batch × length
+    products (e.g. batch 64 at 800 frames) must fall back to the XLA
+    scan instead of failing at Mosaic compile. ``mem_dims`` is the sum
+    of memory-stream widths; ``key_dim`` the concatenated key width.
+    """
+    budget = 80 * 1024 * 1024
+    align_pad = _ceil128((2 if dual else 1) * src_len)
+    # (N, B, ·): feeds + feature cotangent (f32) + alignment cotangent (f32)
+    nb = num_steps * batch * (feed_dim * io_bytes + dec_units * 4 + align_pad * 4)
+    # conditioning (keys + memories, io dtype) + d_keys accumulator (f32)
+    cond = batch * src_len * ((key_dim + mem_dims) * io_bytes + key_dim * 4)
+    # carry/stack DMA ring rows: conservative 4 KB/lane bound
+    rings = 6 * batch * 4096
+    margin = 6 * 1024 * 1024  # weights + transposed weights + small refs
+    return nb + cond + rings + margin < budget
+
+
 # --------------------------------------------------------------------------- #
 # Shared per-step forward computation (used by fwd kernel and bwd recompute)
 # --------------------------------------------------------------------------- #
@@ -1013,7 +1038,10 @@ def _teacher_decode_bwd(cfg_key, residuals, cotangents):
         k: v.astype(jnp.asarray(conds[k]).dtype) for k, v in g_conds.items()
     }
     g_feeds = jnp.zeros_like(feeds)  # teacher frames are data, not params
-    return (g_weights, g_conds, g_feeds, jnp.zeros_like(jnp.asarray(seed)))
+    # integer primals take a float0 cotangent (JAX convention; an int32
+    # zero happens to be tolerated today but is fragile across upgrades)
+    g_seed = np.zeros(jnp.shape(seed), jax.dtypes.float0)
+    return (g_weights, g_conds, g_feeds, g_seed)
 
 
 _teacher_decode.defvjp(_teacher_decode_fwd, _teacher_decode_bwd)

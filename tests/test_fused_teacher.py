@@ -312,7 +312,17 @@ def test_decoder_integration_matches_xla_path(monkeypatch):
     ref_loss, ref_grads = jax.value_and_grad(loss_fn)(variables["params"])
 
     monkeypatch.setattr(fused_teacher, "FORCE_INTERPRET", True)
+    # guard against vacuity: the fused path must actually be taken
+    calls = []
+    orig = fused_teacher.teacher_decode
+
+    def spy(**kw):
+        calls.append(1)
+        return orig(**kw)
+
+    monkeypatch.setattr(fused_teacher, "teacher_decode", spy)
     got_loss, got_grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert calls, "fused teacher path was not exercised (test would be vacuous)"
 
     np.testing.assert_allclose(float(got_loss), float(ref_loss), rtol=1e-5)
     flat_ref = flax.traverse_util.flatten_dict(ref_grads)
@@ -323,3 +333,58 @@ def test_decoder_integration_matches_xla_path(monkeypatch):
             np.asarray(flat_got[k]), np.asarray(flat_ref[k]),
             atol=3e-4, rtol=2e-4, err_msg="/".join(k),
         )
+
+
+def test_fused_teacher_deterministic_needs_no_dropout_rng(monkeypatch):
+    """A fully deterministic config (prenet drop 0, zoneout 0) must run the
+    fused path without apply() providing a dropout rng — the XLA path does
+    not require one either (ADVICE r2)."""
+    from self_attention_tacotron_tpu.models.models import tacotron_model_factory
+    from tests.test_models import tiny_hparams
+
+    hp = tiny_hparams(
+        tacotron_model="DualSourceSelfAttentionTacotronModel",
+        encoder="SelfAttentionCBHGEncoder",
+        decoder="DualSourceSelfAttentionDecoder",
+        attention="forward",
+        attention2="additive",
+        decoder_prenet_drop_rate=0.0,
+        encoder_prenet_drop_rate=0.0,
+        zoneout_factor_cell=0.0,
+        zoneout_factor_output=0.0,
+        decoder_self_attention_drop_rate=0.0,
+        self_attention_drop_rate=0.0,
+        compute_dtype="float32",
+    )
+    model = tacotron_model_factory(hp)
+    net = model.network(is_training=True)
+    B, S, T = 2, 12, 8
+    src = jnp.asarray(
+        np.random.RandomState(0).randint(2, hp.num_symbols, (B, S)), jnp.int32
+    )
+    sl = jnp.full((B,), S, jnp.int32)
+    mel = jnp.asarray(np.random.RandomState(1).rand(B, T, hp.num_mels), jnp.float32)
+    tl = jnp.full((B,), T, jnp.int32)
+    rngs = {k: jax.random.PRNGKey(i) for i, k in enumerate(["params", "dropout", "zoneout"])}
+    variables = net.init(rngs, src, sl, mel, tl)
+
+    monkeypatch.setattr(fused_teacher, "FORCE_INTERPRET", True)
+    out, _ = net.apply(variables, src, sl, mel, tl, rngs={}, mutable=["batch_stats"])
+    assert np.isfinite(np.asarray(out.frames["mel"])).all()
+
+
+def test_fused_teacher_fits_budget():
+    """Large batch × steps products fall back to the XLA scan instead of
+    failing at Mosaic compile (ADVICE r2, medium)."""
+    flagship = dict(
+        src_len=128, feed_dim=80, dec_units=256,
+        mem_dims=512, key_dim=256, io_bytes=2, dual=True,
+    )
+    assert fused_teacher.fused_teacher_fits(batch=32, num_steps=400, **flagship)
+    # batch 64 at 800 frames keeps >100 MB of (N,B,·) buffers VMEM-resident
+    assert not fused_teacher.fused_teacher_fits(
+        batch=64, num_steps=400, **flagship
+    )
+    assert not fused_teacher.fused_teacher_fits(
+        batch=32, num_steps=1200, **flagship
+    )
