@@ -180,7 +180,6 @@ def make_sharded_predict_fn(
     Batch size must be divisible by the data axis; params are replicated.
     """
     import jax.sharding as jsh
-    from jax.experimental.shard_map import shard_map
 
     predict = make_predict_fn(model, max_iters=max_iters, use_fused=use_fused)
     P = jsh.PartitionSpec
@@ -210,12 +209,12 @@ def make_sharded_predict_fn(
             out_specs = jax.tree.map(lambda _: P(data_axis), out_shapes)
             out_specs["num_steps"] = P()
             cache[key] = jax.jit(
-                shard_map(
+                jax.shard_map(
                     per_shard,
                     mesh=mesh,
                     in_specs=in_specs,
                     out_specs=out_specs,
-                    check_rep=False,
+                    check_vma=False,
                 )
             )
         return cache[key](variables, batch, rng)
