@@ -94,15 +94,18 @@ def supports_fused_decode(hp) -> bool:
 
 
 def fused_decode_fits(hp, batch: int, max_iters: int, src_len: int) -> bool:
-    """VMEM-budget check for the auto path: the decoder-SA K/V caches
-    scale with batch × max_iters and blow the scoped-VMEM limit around
-    batch 128 at the flagship shapes (measured: 100.5 MB > 100 MB on
-    v5e). Auto selection falls back to the XLA loop instead of failing
-    to compile; an explicit ``use_fused=True`` still tries the kernel.
+    """VMEM-budget check: does a SINGLE kernel launch at this batch fit?
 
-    All terms are computed from the actual hparam dims (a wider config
-    must not pass the check on the flagship's literal sizes and then
-    OOM VMEM at runtime — VERDICT r2 weak #2).
+    The decoder-SA K/V caches scale with batch × max_iters and blow the
+    scoped-VMEM limit around batch 128 at the flagship shapes (measured:
+    100.5 MB > 100 MB on v5e). All terms are computed from the actual
+    hparam dims (a wider config must not pass the check on the flagship's
+    literal sizes and then OOM VMEM at runtime — VERDICT r2 weak #2).
+
+    Batches larger than this are still served by the fused path:
+    :func:`fused_decode` splits them into sequential batch blocks of
+    :func:`fused_decode_max_batch` lanes, each reusing the same constant
+    VMEM footprint (see the slicing note in ``fused_decode``).
     """
     if hp.decoder not in _FUSED_DECODERS:
         return False
@@ -124,6 +127,22 @@ def fused_decode_fits(hp, batch: int, max_iters: int, src_len: int) -> bool:
     align_pad = -(-((2 if dual else 1) * src_len) // 128) * 128
     rings = 2 * b_pad * (out_pad + align_pad) * 4
     return kv + cond + rings < budget
+
+
+def fused_decode_max_batch(hp, max_iters: int, src_len: int) -> int:
+    """Largest per-launch batch (multiple of 8) within the VMEM budget.
+
+    Returns 0 when the configuration cannot run fused at all (unsupported
+    decoder family, or even an 8-lane launch exceeds the budget — e.g. a
+    max_iters so large the K/V caches alone overflow VMEM; the batch axis
+    cannot be sliced out of the T axis).
+    """
+    if hp.decoder not in _FUSED_DECODERS:
+        return 0
+    b = 512
+    while b >= 8 and not fused_decode_fits(hp, b, max_iters, src_len):
+        b //= 2
+    return b if b >= 8 else 0
 
 
 def _lstm_gate(x_h: jnp.ndarray, w, b, c, h, zc: float, zo: float):
@@ -644,6 +663,23 @@ def _ta_operands(variables, cond, hp, w):
     )
 
 
+def _slice_cond(cond, start: int, end: int):
+    """Batch-slice a DecoderConditioning (None fields pass through)."""
+    sl = lambda x: None if x is None else x[start:end]
+    return cond.replace(
+        memories=tuple(sl(m) for m in cond.memories),
+        keys=tuple(sl(k) for k in cond.keys),
+        masks=tuple(sl(m) for m in cond.masks),
+        speaker_embed=sl(cond.speaker_embed),
+        teacher_ratio=sl(cond.teacher_ratio),
+    )
+
+
+def cat_field(parts, path: Tuple[str, ...]):
+    vals = [functools.reduce(lambda d, k: d[k], path, p) for p in parts]
+    return jnp.concatenate(vals, axis=0)
+
+
 def fused_decode(
     *,
     variables: Dict,
@@ -656,12 +692,62 @@ def fused_decode(
     ablate: str = "none",
     mxu_attend: bool = False,
     cache_chunk: int = 64,
+    slice_batch: int | None = None,
 ):
     """Run the fused whole-loop decode; returns the DecodeResult fields.
 
     ``variables`` is the flax variable dict; decoder weights are extracted
     by path (the layout is pinned by the Decoder module's setup()).
+
+    Batches beyond the single-launch VMEM budget (``fused_decode_fits``;
+    batch 128 at the flagship shapes) decode as SEQUENTIAL batch blocks of
+    ``fused_decode_max_batch`` lanes: each launch reuses the same constant
+    VMEM footprint (K/V caches scale with the block, not the batch), so
+    per-lane throughput holds at any batch size. The alternative —
+    streaming the K/V caches from HBM inside one launch — would pay
+    ~2×4 MB of cache DMA per live-prefix chunk per step; block slicing
+    pays one extra kernel dispatch (~50 µs) per ~15 ms block instead.
+    Per-block early exit is also tighter than a monolithic loop: each
+    block stops at its own longest utterance, not the global maximum.
+    ``slice_batch`` overrides the computed block size (tests/profiling).
     """
+    if slice_batch is not None:
+        b_max = slice_batch
+    else:
+        b_max = fused_decode_max_batch(hp, max_iters, cond.memories[0].shape[1])
+    if b_max and batch > b_max:
+        parts = []
+        for i, start in enumerate(range(0, batch, b_max)):
+            end = min(start + b_max, batch)
+            parts.append(
+                fused_decode(
+                    variables=variables,
+                    cond=_slice_cond(cond, start, end),
+                    hp=hp,
+                    batch=end - start,
+                    max_iters=max_iters,
+                    seed=seed + i,
+                    interpret=interpret,
+                    ablate=ablate,
+                    mxu_attend=mxu_attend,
+                    cache_chunk=cache_chunk,
+                )
+            )
+        cat = lambda k: jnp.concatenate([p[k] for p in parts], axis=0)
+        return dict(
+            frames={"mel": cat_field(parts, ("frames", "mel"))},
+            stop_probs=cat("stop_probs"),
+            lengths=cat("lengths"),
+            alignments=tuple(
+                jnp.concatenate([p["alignments"][j] for p in parts], axis=0)
+                for j in range(len(parts[0]["alignments"]))
+            ),
+            finished=cat("finished"),
+            num_steps=functools.reduce(
+                jnp.maximum, [p["num_steps"] for p in parts]
+            ),
+        )
+
     # Mosaic reductions misbehave below the f32 sublane tile; pad tiny
     # batches up to 8 lanes and slice the results back afterwards.
     real_batch = batch

@@ -44,7 +44,7 @@ def make_predict_fn(
 
     from self_attention_tacotron_tpu.ops.fused_decode import (
         fused_decode,
-        fused_decode_fits,
+        fused_decode_max_batch,
         supports_fused_decode,
     )
 
@@ -82,12 +82,12 @@ def make_predict_fn(
                 teacher_ratio=src_len.astype(jnp.float32) / dec_steps.astype(jnp.float32)
             )
 
-        # batch/length are static at trace time: in auto mode, very large
-        # batches whose SA K/V caches would blow the kernel's VMEM budget
-        # fall back to the XLA loop instead of failing to compile
+        # batch/length are static at trace time: large batches run as
+        # sequential fused batch blocks (fused_decode slices internally);
+        # auto mode only falls back to the XLA loop when even an 8-lane
+        # launch exceeds the VMEM budget (e.g. extreme max_iters)
         use_fused_here = use_fused and (
-            not auto_mode
-            or fused_decode_fits(hp, batch_size, max_steps, src_max)
+            not auto_mode or fused_decode_max_batch(hp, max_steps, src_max) > 0
         )
         if use_fused_here:
             seed = jax.random.randint(dec_rng, (), 0, jnp.iinfo(jnp.int32).max)

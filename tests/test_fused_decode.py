@@ -102,6 +102,73 @@ def test_fused_stop_token_lengths(setup):
         hp.stop_token_threshold = 2.0
 
 
+def test_fused_decode_batch_slicing(setup):
+    """Sequential batch-block decode == one whole-batch launch.
+
+    Batches beyond the VMEM budget decode as blocks of
+    ``fused_decode_max_batch`` lanes (fused_decode slices internally);
+    per-lane math is independent, so forcing slice_batch=8 on a 12-lane
+    batch must reproduce the monolithic results exactly (last block is
+    padded 4→8 lanes, exercising the pad path inside a block).
+    """
+    from self_attention_tacotron_tpu.models.models import TacotronNetwork
+    from self_attention_tacotron_tpu.ops.fused_decode import fused_decode
+
+    hp, model, variables, _ = setup
+    net = model.network(is_training=False)
+    B, S = 12, 16
+    rng = np.random.RandomState(3)
+    source = jnp.asarray(rng.randint(2, hp.num_symbols, (B, S)), jnp.int32)
+    lengths = jnp.asarray(rng.randint(8, S + 1, (B,)), jnp.int32)
+    cond, _ = net.apply(
+        variables, source, lengths, None, None,
+        method=TacotronNetwork.encode, rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    kw = dict(
+        variables=variables, cond=cond, hp=hp, batch=B,
+        max_iters=hp.max_iters, seed=jnp.asarray(0, jnp.int32), interpret=True,
+    )
+    whole = fused_decode(**kw)
+    sliced = fused_decode(**kw, slice_batch=8)
+    np.testing.assert_allclose(
+        np.asarray(sliced["frames"]["mel"]),
+        np.asarray(whole["frames"]["mel"]),
+        atol=1e-5, rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sliced["stop_probs"]), np.asarray(whole["stop_probs"]), atol=1e-5
+    )
+    for a, b in zip(sliced["alignments"], whole["alignments"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(sliced["lengths"]), np.asarray(whole["lengths"])
+    )
+    assert int(sliced["num_steps"]) == int(whole["num_steps"])
+
+
+def test_fused_decode_max_batch():
+    from self_attention_tacotron_tpu.ops.fused_decode import fused_decode_max_batch
+
+    hp = tiny_hparams(
+        decoder="DualSourceSelfAttentionDecoder",
+        attention="forward",
+        attention2="additive",
+        compute_dtype="bfloat16",
+        decoder_self_attention_out_units=256,
+        cbhg_out_units=256,
+        self_attention_out_units=256,
+        attention1_out_units=224,
+        attention2_out_units=32,
+        num_mels=80,
+    )
+    # flagship: single launch tops out at batch 64; larger batches slice
+    assert fused_decode_max_batch(hp, 500, 128) == 64
+    # absurd decode length: even 8 lanes cannot hold the K/V caches → 0
+    assert fused_decode_max_batch(hp, 40000, 128) == 0
+    hp.decoder = "MgcLf0ExtendedDecoder"
+    assert fused_decode_max_batch(hp, 500, 128) == 0
+
+
 def test_supports_fused_decode_gating():
     from self_attention_tacotron_tpu.ops.fused_decode import supports_fused_decode
 
