@@ -139,25 +139,51 @@ def plot_loss_curve(log_dir: str, out_png: str) -> dict:
 
 
 def export_params_npz(ckpt_dir: str, out_npz: str) -> int:
-    """Flatten the latest orbax checkpoint's params into one bf16 npz."""
-    import jax
+    """Flatten the latest orbax checkpoint into one compact npz.
+
+    Contains BOTH ``params/...`` and ``batch_stats/...`` keys — the CBHG
+    conv-bank BatchNorm needs its running statistics to run in eval mode,
+    so params alone cannot drive synthesis.
+    """
+    import flax
     import numpy as np
     import orbax.checkpoint as ocp
 
     mngr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
     step = mngr.latest_step()
     restored = mngr.restore(step)
-    params = restored["params"] if isinstance(restored, dict) else restored.params
-    import flax
-
-    flat = flax.traverse_util.flatten_dict(params, sep="/")
-    np.savez_compressed(
-        out_npz,
-        **{k: np.asarray(v).astype(np.float32) for k, v in flat.items()},
-    )
+    arrays = {}
+    for collection in ("params", "batch_stats"):
+        tree = (
+            restored[collection]
+            if isinstance(restored, dict)
+            else getattr(restored, collection)
+        )
+        flat = flax.traverse_util.flatten_dict(tree, sep="/")
+        arrays.update(
+            {f"{collection}/{k}": np.asarray(v).astype(np.float32) for k, v in flat.items()}
+        )
+    np.savez_compressed(out_npz, **arrays)
     size_mb = os.path.getsize(out_npz) / 1e6
     print(f"[convergence] exported step-{step} params → {out_npz} ({size_mb:.1f} MB)")
     return int(step)
+
+
+def load_variables_npz(npz_path: str):
+    """Inverse of export_params_npz → flax variables dict."""
+    import flax
+    import jax.numpy as jnp
+    import numpy as np
+
+    flat = dict(np.load(npz_path))
+    variables = {}
+    for key, value in flat.items():
+        collection, rest = key.split("/", 1)
+        variables.setdefault(collection, {})[tuple(rest.split("/"))] = jnp.asarray(value)
+    return {
+        c: flax.traverse_util.unflatten_dict(leaves)
+        for c, leaves in variables.items()
+    }
 
 
 def score_predictions(data_dir: str, list_dir: str, pred_dir: str) -> dict:

@@ -34,7 +34,10 @@ def save_alignment_png(
     n = len(alignments)
     fig, axes = plt.subplots(1, n, figsize=(6 * n, 4), squeeze=False)
     for i, align in enumerate(alignments):
-        a = np.asarray(align)
+        # float32: matplotlib renders ml_dtypes.bfloat16 arrays as a BLANK
+        # panel at these shapes (reproduced 2026-08-17) — every eval-mode
+        # output under compute_dtype=bfloat16 hits this
+        a = np.asarray(align, np.float32)
         if decoder_steps:
             a = a[:decoder_steps]
         if source_length:
@@ -63,13 +66,14 @@ def save_mel_comparison_png(
 ) -> None:
     rows = 2 if target is not None else 1
     fig, axes = plt.subplots(rows, 1, figsize=(10, 3 * rows), squeeze=False)
-    pred = np.asarray(predicted)
+    # float32 cast: see save_alignment_png (matplotlib + bf16 = blank panel)
+    pred = np.asarray(predicted, np.float32)
     if length:
         pred = pred[:length]
     axes[0][0].imshow(pred.T, aspect="auto", origin="lower", interpolation="none")
     axes[0][0].set_title("predicted mel")
     if target is not None:
-        tgt = np.asarray(target)
+        tgt = np.asarray(target, np.float32)
         if length:
             tgt = tgt[:length]
         axes[1][0].imshow(tgt.T, aspect="auto", origin="lower", interpolation="none")
