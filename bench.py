@@ -349,6 +349,131 @@ def run_trained_bench(
     )
 
 
+def run_serve_bench(
+    batch_size: int,
+    max_iters: int,
+    src_len: int,
+    duration_s: float = 30.0,
+    depths=(1, 2, 4, 8),
+    compute_dtype: str = "bfloat16",
+):
+    """Sustained wall-clock serving (VERDICT r2 item 4): keep K batches in
+    flight (async dispatch; materialize result i-K when submitting i) and
+    report steady-state wall frames/s per depth over >= duration_s, plus
+    two calibration numbers:
+
+    * device-busy seconds per call (xplane) — the compute floor;
+    * an empty-graph round trip (trivial jit + materialize) — the
+      per-call transport floor of this serving relay.
+
+    If wall/call approaches device time as K grows, the gap is
+    pipelineable dispatch latency; if it stays flat at the empty-graph
+    round-trip, it is irreducible per-call transport.
+    """
+    import collections
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from self_attention_tacotron_tpu.models.models import tacotron_model_factory
+    from self_attention_tacotron_tpu.synthesis import make_predict_fn
+
+    hp = flagship_hparams()
+    hp.max_iters = max_iters
+    hp.compute_dtype = compute_dtype
+    model = tacotron_model_factory(hp)
+    net = model.network(is_training=False)
+    rng = np.random.RandomState(0)
+    batch = {
+        "source": jnp.asarray(
+            rng.randint(2, hp.num_symbols, (batch_size, src_len)), jnp.int32
+        ),
+        "source_lengths": jnp.full((batch_size,), src_len, jnp.int32),
+    }
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "dropout": jax.random.PRNGKey(1),
+        "zoneout": jax.random.PRNGKey(2),
+    }
+    targets = jnp.zeros((batch_size, hp.outputs_per_step * 2, hp.num_mels))
+    variables = net.init(
+        rngs, batch["source"], batch["source_lengths"], targets,
+        jnp.full((batch_size,), targets.shape[1], jnp.int32),
+    )
+    predict = make_predict_fn(model)
+    key = jax.random.PRNGKey(3)
+    out = predict(variables, batch, key)
+    jax.block_until_ready(out["mel"])  # compile
+
+    frames = max_iters * hp.outputs_per_step
+    results = {}
+    for depth in depths:
+        inflight = collections.deque()
+        calls = 0
+        t0 = time.perf_counter()
+        deadline = t0 + duration_s
+        while time.perf_counter() < deadline:
+            out = predict(variables, batch, jax.random.fold_in(key, calls))
+            inflight.append(out)
+            calls += 1
+            if len(inflight) > depth:
+                done = inflight.popleft()
+                np.asarray(done["mel"][0, -1])  # materialize oldest (small row)
+        while inflight:
+            np.asarray(inflight.popleft()["mel"][0, -1])
+        elapsed = time.perf_counter() - t0
+        results[f"depth_{depth}"] = {
+            "calls": calls,
+            "wall_per_call_ms": round(elapsed / calls * 1e3, 2),
+            "frames_per_sec_wall": round(batch_size * frames * calls / elapsed, 1),
+        }
+
+    # transport floor: trivial graph, same call+materialize pattern
+    @jax.jit
+    def tiny(x):
+        return x + 1.0
+
+    x = jnp.zeros((8, 128), jnp.float32)
+    np.asarray(tiny(x))
+    n = 50
+    t0 = time.perf_counter()
+    for _ in range(n):
+        x = tiny(x)
+    np.asarray(x)
+    results["empty_graph_roundtrip_ms"] = round(
+        (time.perf_counter() - t0) / n * 1e3, 2
+    )
+
+    device_busy_s = None
+    if jax.default_backend() != "cpu":
+        import shutil
+
+        profile_dir = "/tmp/bench_serve_xplane"
+        shutil.rmtree(profile_dir, ignore_errors=True)
+        try:
+            with jax.profiler.trace(profile_dir):
+                out = predict(variables, batch, jax.random.fold_in(key, 777))
+                jax.block_until_ready(out["mel"])
+            from scripts.analyze_xplane import find_xplane, load_hlo_stats
+
+            rows = load_hlo_stats(find_xplane(profile_dir))
+            device_busy_s = sum(r["self_us"] or 0.0 for r in rows) / 1e6
+        except (Exception, SystemExit) as e:
+            print(f"[bench] serve xplane unavailable ({e!r})", file=sys.stderr)
+    if device_busy_s:
+        results["device_busy_per_call_ms"] = round(device_busy_s * 1e3, 2)
+        results["frames_per_sec_device"] = round(
+            batch_size * frames / device_busy_s, 1
+        )
+    results["batch_size"] = batch_size
+    results["frames_per_call"] = batch_size * frames
+    import jax as _j
+
+    results["device"] = str(_j.devices()[0])
+    return results
+
+
 def run_train_bench(
     batch_size: int,
     target_frames: int,
@@ -511,6 +636,10 @@ def main():
                    help="synthesis bench from a trained checkpoint npz with "
                         "real stop-token early exit (stop threshold 0.5)")
     p.add_argument("--stop-threshold", type=float, default=0.5)
+    p.add_argument("--serve", action="store_true",
+                   help="sustained wall-clock serving bench: in-flight "
+                        "depth sweep + transport-floor calibration")
+    p.add_argument("--serve-seconds", type=float, default=30.0)
     args = p.parse_args()
 
     if args.measure_cpu_baseline:
@@ -521,6 +650,14 @@ def main():
         from self_attention_tacotron_tpu.utils.platform import apply_platform_override
 
         apply_platform_override()
+
+    if args.serve:
+        result = run_serve_bench(
+            args.batch_size, args.max_iters, args.source_length,
+            duration_s=args.serve_seconds,
+        )
+        print(json.dumps({"mode": "serve", **result}))
+        return
 
     if args.trained_npz:
         result = run_trained_bench(

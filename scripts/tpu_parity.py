@@ -65,8 +65,10 @@ def run_case(name: str, hp, batch: int = 8, src: int = 32, seed: int = 0):
         k: jax.random.PRNGKey(i)
         for i, k in enumerate(["params", "dropout", "zoneout"])
     }
+    head_dims = model.head_dims()
+    out_dim = sum(head_dims.values())
     variables = net.init(
-        rngs, source, lengths, jnp.zeros((batch, 4, hp.num_mels)),
+        rngs, source, lengths, jnp.zeros((batch, 4, out_dim)),
         jnp.full((batch,), 4, jnp.int32), **init_kwargs,
     )
     key = jax.random.PRNGKey(99)
@@ -83,26 +85,150 @@ def run_case(name: str, hp, batch: int = 8, src: int = 32, seed: int = 0):
     # multiply, f32 accumulate) with different op shapes/orders, and the
     # AR feedback loop compounds that per-step rounding over max_iters
     # steps — measured f32 mel drift at 24 steps is ~0.019 (2026-08-16).
-    tol = {
-        "mel": 0.03 if hp.compute_dtype == "float32" else 0.08,
-        "stop": 0.01,
-        "align": 0.005,
-    }
+    frame_tol = 0.03 if hp.compute_dtype == "float32" else 0.08
+    tols = {"stop": 0.01}
     errs = {}
-    errs["mel"] = float(np.abs(got["mel"] - ref["mel"]).max())
+    for head in head_dims:  # "mel", or "mgc"+"lf0" for the WORLD family
+        errs[head] = float(np.abs(got[head] - ref[head]).max())
+        # lf0 rows are raw logits over num_lf0s classes, same scale as mel
+        tols[head] = frame_tol
     errs["stop"] = float(np.abs(got["stop_probs"] - ref["stop_probs"]).max())
     for i, (a, b) in enumerate(zip(got["alignments"], ref["alignments"])):
         errs[f"align{i}"] = float(np.abs(a - b).max())
-    ok = all(v <= tol[k.rstrip("01")] for k, v in errs.items())
+        tols[f"align{i}"] = 0.005
+    ok = all(v <= tols[k] for k, v in errs.items())
+    tol = tols
     return {"case": name, "dtype": hp.compute_dtype, "ok": ok, "tol": tol,
             "max_errs": {k: round(v, 6) for k, v in errs.items()}}
 
 
+def run_train_case(
+    name: str,
+    hp,
+    batch: int = 32,
+    frames: int = 800,
+    src: int = 128,
+    seed: int = 0,
+):
+    """Teacher-kernel training parity ON DEVICE at bench shapes: loss and
+    EVERY parameter gradient of the fused fwd+custom-VJP-bwd Pallas path
+    vs the XLA nn.scan path (VERDICT r2 weak #3 — the CPU interpret tests
+    verify the math at tiny dims; this verifies the Mosaic-compiled
+    kernel where bf16 accumulation and lowering differ).
+
+    Deterministic config (prenet dropout 0, zoneout 0, SA dropout 0) so
+    the two paths compute the same function; per-leaf relative gradient
+    error in the 2-norm is the comparison metric.
+    """
+    import flax
+
+    for k in (
+        "decoder_prenet_drop_rate", "encoder_prenet_drop_rate",
+        "zoneout_factor_cell", "zoneout_factor_output",
+        "decoder_self_attention_drop_rate", "self_attention_drop_rate",
+    ):
+        setattr(hp, k, 0.0)
+    frames = (frames // hp.outputs_per_step) * hp.outputs_per_step
+    model = tacotron_model_factory(hp)
+    rng = np.random.RandomState(seed)
+    source = jnp.asarray(rng.randint(2, hp.num_symbols, (batch, src)), jnp.int32)
+    src_lengths = jnp.full((batch,), src, jnp.int32)
+    mel = jnp.asarray(rng.rand(batch, frames, hp.num_mels) * 2 - 1, jnp.float32)
+    tgt_lengths = jnp.full((batch,), frames, jnp.int32)
+    done = jnp.zeros((batch, frames), jnp.float32)
+    batch_dict = {"mel": mel, "done": done, "target_lengths": tgt_lengths}
+    rngs = {
+        k: jax.random.PRNGKey(i)
+        for i, k in enumerate(["params", "dropout", "zoneout"])
+    }
+
+    def grads_for(use_pallas: bool):
+        import copy
+
+        hp_arm = copy.deepcopy(hp)
+        hp_arm.use_pallas_kernels = use_pallas
+        model_arm = tacotron_model_factory(hp_arm)
+        net = model_arm.network(is_training=True)
+        variables = net.init(rngs, source, src_lengths, mel, tgt_lengths)
+
+        @jax.jit
+        def value_and_grads(params):
+            def loss_fn(p):
+                vs = dict(variables, params=p)
+                out, _ = net.apply(
+                    vs, source, src_lengths, mel, tgt_lengths,
+                    rngs={"dropout": jax.random.PRNGKey(5),
+                          "zoneout": jax.random.PRNGKey(6)},
+                    mutable=["batch_stats"],
+                )
+                return model_arm.loss(out, batch_dict, params=p)["loss"]
+
+            return jax.value_and_grad(loss_fn)(params)
+
+        loss, grads = value_and_grads(variables["params"])
+        return float(loss), jax.tree.map(np.asarray, grads), variables
+
+    ref_loss, ref_grads, _ = grads_for(use_pallas=False)
+    got_loss, got_grads, _ = grads_for(use_pallas=True)
+
+    flat_ref = flax.traverse_util.flatten_dict(ref_grads, sep="/")
+    flat_got = flax.traverse_util.flatten_dict(got_grads, sep="/")
+    assert set(flat_ref) == set(flat_got)
+    rel_errs = {}
+    for k in flat_ref:
+        a, b = flat_got[k], flat_ref[k]
+        denom = float(np.linalg.norm(b)) + 1e-12
+        rel_errs[k] = float(np.linalg.norm(a - b)) / denom
+    worst_key = max(rel_errs, key=rel_errs.get)
+    loss_rel = abs(got_loss - ref_loss) / (abs(ref_loss) + 1e-12)
+    # bf16 matmuls + a 400-step recurrence: the two paths round differently
+    # per step; 2% relative 2-norm catches routing/adjoint bugs (those are
+    # O(1) errors) while passing accumulated rounding
+    tol = 0.02 if hp.compute_dtype == "bfloat16" else 0.005
+    ok = loss_rel < tol and max(rel_errs.values()) < tol
+    return {
+        "case": name, "dtype": hp.compute_dtype, "ok": ok,
+        "batch": batch, "decoder_steps": frames // hp.outputs_per_step,
+        "loss_rel_err": round(loss_rel, 8),
+        "grad_rel_err_max": round(rel_errs[worst_key], 6),
+        "grad_rel_err_worst_param": worst_key,
+        "tol": tol,
+    }
+
+
 def main() -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--train", action="store_true",
+                   help="teacher-kernel gradient parity at bench shapes "
+                        "instead of the AR-decode cases")
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--frames", type=int, default=800)
+    args = p.parse_args()
+
     backend = jax.default_backend()
     if backend == "cpu":
         print(json.dumps({"skipped": True, "reason": "no accelerator"}))
         return 0
+
+    if args.train:
+        results = [
+            run_train_case(
+                "teacher_kernel_f32",
+                _case_hparams(compute_dtype="float32"),
+                batch=args.batch, frames=args.frames,
+            ),
+            run_train_case(
+                "teacher_kernel_bf16",
+                _case_hparams(compute_dtype="bfloat16"),
+                batch=args.batch, frames=args.frames,
+            ),
+        ]
+        all_ok = all(r["ok"] for r in results)
+        print(json.dumps({"backend": backend, "ok": all_ok, "cases": results}))
+        return 0 if all_ok else 1
+
     cases = [
         ("flagship_f32", _case_hparams(compute_dtype="float32")),
         ("flagship_bf16", _case_hparams(compute_dtype="bfloat16")),
@@ -119,6 +245,14 @@ def main() -> int:
         # dual source without decoder SA
         ("dual_source_decoder_f32",
          _case_hparams(decoder="DualSourceDecoder", compute_dtype="float32")),
+        # round-3 kernel extensions
+        ("location_sensitive_f32",
+         _case_hparams(attention="location_sensitive", compute_dtype="float32")),
+        ("mgclf0_f32",
+         _case_hparams(tacotron_model="MgcLf0TacotronModel",
+                       encoder="ZoneoutEncoderV1",
+                       decoder="MgcLf0ExtendedDecoder",
+                       compute_dtype="float32")),
     ]
     results = [run_case(name, hp) for name, hp in cases]
     all_ok = all(r["ok"] for r in results)

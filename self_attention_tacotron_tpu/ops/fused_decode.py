@@ -64,29 +64,54 @@ _FUSED_DECODERS = {
 }
 
 
-def supports_fused_decode(hp) -> bool:
-    """The configurations the kernel specializes: all four mel decoder
-    classes (single/dual source × with/without decoder self-attention) via
-    the ``dual``/``use_sa`` kernel flags, with forward attention (± the
-    transition agent) on source 1, additive attention on source 2 when
-    dual, and optional speaker-embedding conditioning (VCTK config — the
-    embedding is a per-utterance vector concatenated to the prenet output,
-    passed as one extra operand). This covers every `configs/` BASELINE
-    setup, including #1 (ExtendedDecoder).
+def _decoder_flags(name: str):
+    """(dual, use_sa, mgc_lf0) for a kernel-served decoder name, else None.
 
-    Anything else (MgcLf0 heads, location-sensitive/teacher-forcing
-    attention, multi-hop decoder SA, forced alignment) falls back to the
-    generic XLA loop.
+    The ``MgcLf0`` (WORLD-feature) variants share the mel decoders'
+    structure; only the output-head layout differs, which the kernel
+    treats as one opaque ``out_dim``-wide frame block (the head split
+    happens in the wrapper).
     """
-    if hp.decoder not in _FUSED_DECODERS:
+    mgc = name.startswith("MgcLf0")
+    base = name[len("MgcLf0"):] if mgc else name
+    if base not in _FUSED_DECODERS:
+        return None
+    dual, use_sa = _FUSED_DECODERS[base]
+    return dual, use_sa, mgc
+
+
+def output_heads_for(hp):
+    """((head, dim), ...) for the configured decoder (wrapper + tests)."""
+    flags = _decoder_flags(hp.decoder)
+    if flags is not None and flags[2]:
+        return (("mgc", hp.num_mgcs), ("lf0", hp.num_lf0s))
+    return (("mel", hp.num_mels),)
+
+
+def supports_fused_decode(hp) -> bool:
+    """The configurations the kernel specializes: all four decoder classes
+    (single/dual source × with/without decoder self-attention) via the
+    ``dual``/``use_sa`` kernel flags, for BOTH the mel and the MgcLf0
+    (WORLD) head families, with forward attention (± the transition agent)
+    or location-sensitive attention on source 1, additive attention on
+    source 2 when dual, and optional speaker-embedding conditioning (VCTK
+    config). This covers every `configs/` BASELINE setup plus the
+    ICASSP'19 comparison families.
+
+    Anything else (teacher-forcing attention / forced alignment, multi-hop
+    decoder SA) falls back to the generic XLA loop.
+    """
+    flags = _decoder_flags(hp.decoder)
+    if flags is None:
         return False
-    dual, use_sa = _FUSED_DECODERS[hp.decoder]
+    dual, use_sa, _ = flags
     if dual and hp.attention2 != "additive":
         return False
     if use_sa and hp.decoder_self_attention_num_hop != 1:
         return False
     return (
-        hp.attention in ("forward", "forward_transition_agent")
+        hp.attention
+        in ("forward", "forward_transition_agent", "location_sensitive")
         and hp.n_feed_frame == 1
         and len(hp.decoder_prenet_out_units) == 2
         and not hp.use_forced_alignment_mode
@@ -107,9 +132,11 @@ def fused_decode_fits(hp, batch: int, max_iters: int, src_len: int) -> bool:
     :func:`fused_decode_max_batch` lanes, each reusing the same constant
     VMEM footprint (see the slicing note in ``fused_decode``).
     """
-    if hp.decoder not in _FUSED_DECODERS:
+    flags = _decoder_flags(hp.decoder)
+    if flags is None:
         return False
-    dual, use_sa = _FUSED_DECODERS[hp.decoder]
+    dual, use_sa, _ = flags
+    out_dim = sum(d for _, d in output_heads_for(hp))
     itemsize = 2 if hp.compute_dtype == "bfloat16" else 4
     b_pad = max(batch, 8)
     budget = 80 * 1024 * 1024
@@ -123,7 +150,7 @@ def fused_decode_fits(hp, batch: int, max_iters: int, src_len: int) -> bool:
     mem_dims = hp.cbhg_out_units + (hp.self_attention_out_units if dual else 0)
     cond = b_pad * src_len * (a_tot + mem_dims) * itemsize
     # output/alignment DMA rings (2 slots each, f32, 128-padded widths)
-    out_pad = -(-(hp.outputs_per_step * (hp.num_mels + 1)) // 128) * 128
+    out_pad = -(-(hp.outputs_per_step * (out_dim + 1)) // 128) * 128
     align_pad = -(-((2 if dual else 1) * src_len) // 128) * 128
     rings = 2 * b_pad * (out_pad + align_pad) * 4
     return kv + cond + rings < budget
@@ -137,7 +164,7 @@ def fused_decode_max_batch(hp, max_iters: int, src_len: int) -> int:
     max_iters so large the K/V caches alone overflow VMEM; the batch axis
     cannot be sliced out of the T axis).
     """
-    if hp.decoder not in _FUSED_DECODERS:
+    if _decoder_flags(hp.decoder) is None:
         return 0
     b = 512
     while b >= 8 and not fused_decode_fits(hp, b, max_iters, src_len):
@@ -180,7 +207,7 @@ def _make_kernel(cfg: Dict[str, Any]):
     S = cfg["src_len"]
     T = cfg["max_iters"]
     R = cfg["r"]
-    M = cfg["num_mels"]
+    M = cfg["out_dim"]                    # full frame width (all heads concat)
     P1, P2 = cfg["prenet_units"]          # 256, 128
     AU = cfg["att_units"]                 # attention LSTM units (256)
     A1, A2 = cfg["att1_units"], cfg["att2_units"]  # 224, 32
@@ -200,6 +227,12 @@ def _make_kernel(cfg: Dict[str, Any]):
     use_ta = cfg.get("use_transition_agent", False)
     dual = cfg.get("dual", True)        # dual-source attention (else single)
     use_sa = cfg.get("use_sa", True)    # decoder self-attention block
+    # source-1 mechanism: "forward" (α recursion) or "location_sensitive"
+    # (conv features of cumulative/previous alignments; Tacotron-2 style)
+    src1_kind = cfg.get("src1_kind", "forward")
+    ls_cumulative = cfg.get("ls_cumulative", True)
+    LSK = cfg.get("ls_kernel", 31)      # location conv width
+    LSF = cfg.get("ls_filters", 32)     # location conv channels
     n_src = 2 if dual else 1
     out_width = R * M + R
     # DMA'd row slices need 128-aligned trailing dims (Mosaic tiling)
@@ -223,6 +256,9 @@ def _make_kernel(cfg: Dict[str, Any]):
         w_qp_ref,          # (AU, A1[+A2])
         vblk_ref,          # (A1[+A2], n_src) f32 — block-diagonal [v1 | v2]
         w_ta_ref, b_ta_ref,  # (E1+AU, 1), (1,) — forward-attention TA (zeros if unused)
+        w_lsc_ref, b_lsc_ref,  # (LSK, LSF), (LSF,) — location conv (zeros if unused)
+        w_locl_ref,        # (LSF, A1) — location features → score units
+        b_latt_ref,        # (A1,) — location-sensitive additive bias
         w_l1_ref, b_l1_ref, w_l2_ref, b_l2_ref,
         w_inproj_ref, b_inproj_ref,
         ln1_s_ref, ln1_b_ref, ln2_s_ref, ln2_b_ref,
@@ -255,12 +291,37 @@ def _make_kernel(cfg: Dict[str, Any]):
             mask = pltpu.bitcast(bits, jnp.uint32) < keep_u32
             return jnp.where(mask, x * (1.0 / keep), jnp.zeros_like(x))
 
+        def ls_features(prev):
+            """SAME conv over the source axis as LSK shifted adds (no conv
+            primitive in Mosaic; the taps are static rolls), then one MXU
+            matmul (B·S, LSF) @ (LSF, A1) to score units."""
+            col = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+            f = jnp.zeros((B, S, LSF), jnp.float32) + b_lsc_ref[:].astype(
+                jnp.float32
+            )
+            half = LSK // 2
+            for k in range(LSK):
+                d = k - half
+                # circular roll by (-d) mod S == shift left by d (pltpu.roll
+                # rejects negative shifts); edge wrap is masked out below
+                tap = pltpu.roll(prev, (-d) % S, axis=1) if d % S else prev
+                tap = jnp.where((col + d >= 0) & (col + d < S), tap, 0.0)
+                f = f + tap[:, :, None] * w_lsc_ref[k][None, None, :].astype(
+                    jnp.float32
+                )
+            loc = jnp.dot(
+                f.reshape(B * S, LSF).astype(io_dtype),
+                w_locl_ref[:],
+                preferred_element_type=jnp.float32,
+            ).reshape(B, S, A1)
+            return loc + b_latt_ref[:].astype(jnp.float32)
+
         def body(carry):
             (
                 t,
                 feed,
                 c_att, h_att, c1, h1, c2, h2,
-                alpha1, u_ta, ctx1, ctx2,
+                alpha1, cum1, u_ta, ctx1, ctx2,
                 finished, lengths,
             ) = carry
 
@@ -306,9 +367,13 @@ def _make_kernel(cfg: Dict[str, Any]):
                 ctx2 = ctx2
             else:
                 a_tot = A1 + A2 if dual else A1
-                tq = jnp.tanh(
-                    keys_ref[:].astype(jnp.float32) + qp[:, None, :]
-                )  # (B, S, A1[+A2])
+                pre = keys_ref[:].astype(jnp.float32) + qp[:, None, :]
+                if src1_kind == "location_sensitive":
+                    loc = ls_features(cum1 if ls_cumulative else alpha1)
+                    if dual:
+                        loc = jnp.pad(loc, ((0, 0), (0, 0), (0, A2)))
+                    pre = pre + loc
+                tq = jnp.tanh(pre)  # (B, S, A1[+A2])
                 e2d = jnp.dot(
                     tq.reshape(B * S, a_tot),
                     vblk_ref[:].astype(jnp.float32),
@@ -316,11 +381,15 @@ def _make_kernel(cfg: Dict[str, Any]):
                 )  # (B·S, n_src)
                 e1 = e2d[:, 0:1].reshape(B, S) + score_bias_ref[:]
                 y1 = jax.nn.softmax(e1, axis=-1)
-                shifted = pltpu.roll(alpha1, 1, axis=1)
-                col = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
-                shifted = jnp.where(col == 0, 0.0, shifted)
-                alpha_hat = ((1.0 - u_ta) * alpha1 + u_ta * shifted + 1e-6) * y1
-                alpha1 = alpha_hat / jnp.sum(alpha_hat, axis=-1, keepdims=True)
+                if src1_kind == "forward":
+                    shifted = pltpu.roll(alpha1, 1, axis=1)
+                    col = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+                    shifted = jnp.where(col == 0, 0.0, shifted)
+                    alpha_hat = ((1.0 - u_ta) * alpha1 + u_ta * shifted + 1e-6) * y1
+                    alpha1 = alpha_hat / jnp.sum(alpha_hat, axis=-1, keepdims=True)
+                else:
+                    alpha1 = y1
+                cum1 = cum1 + alpha1
                 ctx1 = _context(alpha1, mem1_ref)
                 if use_ta:
                     ta_in = jnp.concatenate([ctx1, query], axis=-1).astype(io_dtype)
@@ -355,7 +424,7 @@ def _make_kernel(cfg: Dict[str, Any]):
                 sa_out.astype(io_dtype), w_out_ref[:], preferred_element_type=jnp.float32
             ) + b_out_ref[:].astype(jnp.float32)
             return _finish_step(
-                t, out, alpha1, alpha2,
+                t, out, alpha1, alpha2, cum1,
                 c_att, h_att, c1, h1, c2, h2, u_ta, ctx1, ctx2,
                 finished, lengths,
             )
@@ -477,7 +546,7 @@ def _make_kernel(cfg: Dict[str, Any]):
             return xs + f2
 
         def _finish_step(
-            t, out, alpha1, alpha2,
+            t, out, alpha1, alpha2, cum1,
             c_att, h_att, c1, h1, c2, h2, u_ta, ctx1, ctx2,
             finished, lengths,
         ):
@@ -530,13 +599,18 @@ def _make_kernel(cfg: Dict[str, Any]):
 
             return (
                 t + 1, feed, c_att, h_att, c1, h1, c2, h2,
-                alpha1, u_ta, ctx1, ctx2, finished, lengths,
+                alpha1, cum1, u_ta, ctx1, ctx2, finished, lengths,
             )
 
         z = lambda *shape: jnp.zeros(shape, jnp.float32)
-        init_alpha = (
-            jax.lax.broadcasted_iota(jnp.int32, (B, S), 1) == 0
-        ).astype(jnp.float32)
+        if src1_kind == "forward":
+            # forward attention requires all mass at position 0
+            init_alpha = (
+                jax.lax.broadcasted_iota(jnp.int32, (B, S), 1) == 0
+            ).astype(jnp.float32)
+        else:
+            # additive-family mechanisms start from a uniform alignment
+            init_alpha = jnp.full((B, S), 1.0 / S, jnp.float32)
         # padded lanes (small-batch tiling) start "finished" so the
         # early-exit min() only gates on real lanes — their zero
         # conditioning would otherwise hold the loop to max_iters
@@ -547,7 +621,8 @@ def _make_kernel(cfg: Dict[str, Any]):
             jnp.zeros((), jnp.int32),
             feed0_ref[:],
             z(B, AU), z(B, AU), z(B, DU), z(B, DU), z(B, DU), z(B, DU),
-            init_alpha, jnp.full((B, 1), 0.5, jnp.float32), z(B, E1), z(B, E2),
+            init_alpha, z(B, S), jnp.full((B, 1), 0.5, jnp.float32),
+            z(B, E1), z(B, E2),
             init_finished, jnp.zeros((B, 1), jnp.int32),
         )
 
@@ -598,7 +673,7 @@ def _run_fused(operands: Tuple, cfg_key: Tuple) -> Tuple:
     kernel = _make_kernel(cfg)
     B, S, T = cfg["batch"], cfg["src_len"], cfg["max_iters"]
     SA = cfg["sa_units"]
-    out_width = cfg["r"] * cfg["num_mels"] + cfg["r"]
+    out_width = cfg["r"] * cfg["out_dim"] + cfg["r"]
     out_pad = ((out_width + 127) // 128) * 128
     io_dtype = jnp.bfloat16 if cfg["io_dtype"] == "bfloat16" else jnp.float32
     CH = cfg["cache_chunk"]
@@ -649,7 +724,7 @@ def _run_fused(operands: Tuple, cfg_key: Tuple) -> Tuple:
 
 def _ta_operands(variables, cond, hp, w):
     """Transition-agent weights, or zeros when the agent is disabled."""
-    use_ta = (
+    use_ta = hp.attention != "location_sensitive" and (
         hp.attention == "forward_transition_agent"
         or hp.use_forward_attention_transition_agent
     )
@@ -660,6 +735,26 @@ def _ta_operands(variables, cond, hp, w):
     return (
         jnp.zeros((e1 + hp.attention_out_units, 1), jnp.float32),
         jnp.zeros((1,), jnp.float32),
+    )
+
+
+def _ls_operands(variables, hp, w):
+    """Location-sensitive conv/projection weights, or zeros when unused."""
+    if hp.attention == "location_sensitive":
+        a0 = variables["params"]["attention_0"]
+        return (
+            # nn.Conv kernel is (K, in=1, F) → squeeze the in axis
+            jnp.asarray(a0["location_conv"]["kernel"], jnp.float32)[:, 0, :],
+            jnp.asarray(a0["location_conv"]["bias"], jnp.float32),
+            w(a0["location_layer"]["kernel"]),
+            jnp.asarray(a0["attention_b"], jnp.float32),
+        )
+    k, f = hp.attention_kernel, hp.attention_filters
+    return (
+        jnp.zeros((k, f), jnp.float32),
+        jnp.zeros((f,), jnp.float32),
+        jnp.zeros((f, hp.attention1_out_units), jnp.float32),
+        jnp.zeros((hp.attention1_out_units,), jnp.float32),
     )
 
 
@@ -735,7 +830,9 @@ def fused_decode(
             )
         cat = lambda k: jnp.concatenate([p[k] for p in parts], axis=0)
         return dict(
-            frames={"mel": cat_field(parts, ("frames", "mel"))},
+            frames={
+                h: cat_field(parts, ("frames", h)) for h in parts[0]["frames"]
+            },
             stop_probs=cat("stop_probs"),
             lengths=cat("lengths"),
             alignments=tuple(
@@ -788,7 +885,12 @@ def fused_decode(
 
     spk = cond.speaker_embed
     spk_dim = 0 if spk is None else int(spk.shape[-1])
-    dual, use_sa = _FUSED_DECODERS[hp.decoder]
+    dual, use_sa, _ = _decoder_flags(hp.decoder)
+    heads = output_heads_for(hp)
+    out_dim = sum(d for _, d in heads)
+    src1_kind = (
+        "location_sensitive" if hp.attention == "location_sensitive" else "forward"
+    )
     cfg = dict(
         dual=dual,
         use_sa=use_sa,
@@ -798,7 +900,11 @@ def fused_decode(
         src_len=S,
         max_iters=max_iters,
         r=hp.outputs_per_step,
-        num_mels=hp.num_mels,
+        out_dim=out_dim,
+        src1_kind=src1_kind,
+        ls_cumulative=bool(hp.cumulative_weights),
+        ls_kernel=hp.attention_kernel,
+        ls_filters=hp.attention_filters,
         prenet_units=tuple(hp.decoder_prenet_out_units),
         att_units=hp.attention_out_units,
         att1_units=hp.attention1_out_units,
@@ -816,7 +922,8 @@ def fused_decode(
         zoneout_output=hp.zoneout_factor_output,
         prenet_drop_rate=hp.decoder_prenet_drop_rate,
         stop_threshold=hp.stop_token_threshold,
-        use_transition_agent=(
+        use_transition_agent=src1_kind == "forward"
+        and (
             hp.attention == "forward_transition_agent"
             or hp.use_forward_attention_transition_agent
         ),
@@ -875,7 +982,7 @@ def fused_decode(
 
     operands = (
         jnp.asarray(seed, jnp.int32).reshape(1),
-        jnp.zeros((batch, hp.num_mels), bf),               # go frame
+        jnp.zeros((batch, out_dim), bf),                   # go frame
         (w(spk) if spk_dim else jnp.zeros((batch, 1), bf)),  # speaker embed
         score_bias,
         keys_cat,
@@ -887,6 +994,7 @@ def fused_decode(
         # the mechanisms are adopted at network level (flax first-adoption)
         vblk,
         *_ta_operands(variables, cond, hp, w),
+        *_ls_operands(variables, hp, w),
         w(p["decoder_lstm_0"]["gates"]["kernel"]), w(p["decoder_lstm_0"]["gates"]["bias"]),
         w(p["decoder_lstm_1"]["gates"]["kernel"]), w(p["decoder_lstm_1"]["gates"]["bias"]),
         *sa_ops,
@@ -909,12 +1017,16 @@ def fused_decode(
         finished = finished[:real_batch]
         batch = real_batch
 
-    r, m = hp.outputs_per_step, hp.num_mels
+    r, m = hp.outputs_per_step, out_dim
     n_src = 2 if dual else 1
     out_rows = out_rows[..., : r * m + r]
     align_rows = align_rows[..., : n_src * S]
     out_rows = out_rows.transpose(1, 0, 2)              # (B, T, r·M + r)
-    frames = out_rows[..., : r * m].reshape(batch, max_iters * r, m)
+    frame_block = out_rows[..., : r * m].reshape(batch, max_iters * r, m)
+    frames, offset = {}, 0
+    for head, dim in heads:
+        frames[head] = frame_block[..., offset : offset + dim]
+        offset += dim
     stop = jax.nn.sigmoid(out_rows[..., r * m :]).reshape(batch, max_iters * r)
     # zero the stop tail AFTER the sigmoid: rows past the early-exit step
     # were zero-filled above, and sigmoid(0)=0.5 would otherwise disagree
@@ -927,7 +1039,7 @@ def fused_decode(
         else (align_rows,)
     )
     return dict(
-        frames={"mel": frames},
+        frames=frames,
         stop_probs=stop,
         lengths=lengths[:, 0],
         alignments=aligns,

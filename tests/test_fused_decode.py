@@ -165,7 +165,7 @@ def test_fused_decode_max_batch():
     assert fused_decode_max_batch(hp, 500, 128) == 64
     # absurd decode length: even 8 lanes cannot hold the K/V caches → 0
     assert fused_decode_max_batch(hp, 40000, 128) == 0
-    hp.decoder = "MgcLf0ExtendedDecoder"
+    hp.decoder = "NotADecoder"
     assert fused_decode_max_batch(hp, 500, 128) == 0
 
 
@@ -181,17 +181,21 @@ def test_supports_fused_decode_gating():
     for decoder in ("ExtendedDecoder", "SelfAttentionDecoder", "DualSourceDecoder"):
         hp.decoder = decoder
         assert supports_fused_decode(hp), decoder
-    hp.decoder = "MgcLf0ExtendedDecoder"  # WORLD heads: XLA fallback
-    assert not supports_fused_decode(hp)
+    # WORLD (MgcLf0) heads and location-sensitive attention are kernel-
+    # served since round 3 (the head split / location conv run in-kernel)
+    hp.decoder = "MgcLf0ExtendedDecoder"
+    assert supports_fused_decode(hp)
     hp.decoder = "DualSourceSelfAttentionDecoder"
     hp.attention = "location_sensitive"
+    assert supports_fused_decode(hp)
+    hp.attention = "teacher_forcing_forward"  # forced alignment: XLA loop
     assert not supports_fused_decode(hp)
     hp.attention = "forward"
     hp.n_feed_frame = 2
     assert not supports_fused_decode(hp)
 
 
-def _parity_case(hp, model, seed=0, rng_seed=42, batch_extra=None):
+def _parity_case(hp, model, seed=0, rng_seed=42, batch_extra=None, atol=2e-3):
     """Build a tiny batch, run XLA + fused paths, assert close outputs."""
     net = model.network(is_training=False)
     B, S = 2, 16
@@ -201,18 +205,22 @@ def _parity_case(hp, model, seed=0, rng_seed=42, batch_extra=None):
     batch = {"source": source, "source_lengths": jnp.array([S, S - 5], jnp.int32)}
     batch.update(batch_extra or {})
     rngs = {k: jax.random.PRNGKey(i) for i, k in enumerate(["params", "dropout", "zoneout"])}
+    head_dims = model.head_dims()
+    out_dim = sum(head_dims.values())
     variables = net.init(
-        rngs, source, batch["source_lengths"], jnp.zeros((B, 4, hp.num_mels)),
+        rngs, source, batch["source_lengths"], jnp.zeros((B, 4, out_dim)),
         jnp.full((B,), 4, jnp.int32),
     )
     ref = make_predict_fn(model, use_fused=False)(variables, batch, jax.random.PRNGKey(rng_seed))
     got = make_predict_fn(model, use_fused=True)(variables, batch, jax.random.PRNGKey(rng_seed))
-    np.testing.assert_allclose(
-        np.asarray(got["mel"]), np.asarray(ref["mel"]), atol=2e-3, rtol=1e-3
-    )
+    for head in head_dims:
+        np.testing.assert_allclose(
+            np.asarray(got[head]), np.asarray(ref[head]),
+            atol=atol, rtol=1e-3, err_msg=head,
+        )
     assert len(got["alignments"]) == len(ref["alignments"])
     for a, b in zip(got["alignments"], ref["alignments"]):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol)
     np.testing.assert_array_equal(
         np.asarray(got["lengths"]), np.asarray(ref["lengths"])
     )
@@ -270,6 +278,84 @@ def test_fused_matches_xla_self_attention_decoder():
     )
     got, _ = _parity_case(hp, TacotronModelBase(hp))
     assert len(got["alignments"]) == 1
+
+
+def test_fused_matches_xla_location_sensitive():
+    """Location-sensitive attention (cumulative conv features) in-kernel:
+    single-source ExtendedDecoder, ICASSP'19 comparison family."""
+    hp = tiny_hparams(
+        tacotron_model="ExtendedTacotronV1Model",
+        encoder="EncoderV1",
+        decoder="ExtendedDecoder",
+        attention="location_sensitive",
+        attention_kernel=7,
+        attention_filters=4,
+        cumulative_weights=True,
+        decoder_prenet_drop_rate=0.0,
+        max_iters=6,
+        stop_token_threshold=2.0,
+        compute_dtype="float32",
+    )
+    got, _ = _parity_case(hp, tacotron_model_factory(hp))
+    assert len(got["alignments"]) == 1
+
+
+def test_fused_matches_xla_location_sensitive_dual_noncumulative():
+    """Location-sensitive (previous-alignment features) + additive dual
+    source, with decoder self-attention — the full flagship structure."""
+    hp = tiny_hparams(
+        tacotron_model="DualSourceSelfAttentionTacotronModel",
+        encoder="SelfAttentionCBHGEncoder",
+        decoder="DualSourceSelfAttentionDecoder",
+        attention="location_sensitive",
+        attention2="additive",
+        attention_kernel=7,
+        attention_filters=4,
+        cumulative_weights=False,
+        decoder_prenet_drop_rate=0.0,
+        max_iters=6,
+        stop_token_threshold=2.0,
+        compute_dtype="float32",
+    )
+    got, _ = _parity_case(hp, tacotron_model_factory(hp))
+    assert len(got["alignments"]) == 2
+
+
+def test_fused_matches_xla_mgclf0_extended():
+    """WORLD-feature heads (mgc + quantized lf0) through the kernel:
+    the frame block is one opaque out_dim-wide row, split in the wrapper."""
+    hp = tiny_hparams(
+        tacotron_model="MgcLf0TacotronModel",
+        encoder="ZoneoutEncoderV1",
+        decoder="MgcLf0ExtendedDecoder",
+        attention="forward",
+        decoder_prenet_drop_rate=0.0,
+        max_iters=6,
+        stop_token_threshold=2.0,
+        compute_dtype="float32",
+    )
+    got, ref = _parity_case(hp, tacotron_model_factory(hp))
+    assert got["mgc"].shape[-1] == hp.num_mgcs
+    assert got["lf0"].shape[-1] == hp.num_lf0s
+
+
+def test_fused_matches_xla_mgclf0_dual_source_sa():
+    """MgcLf0DualSourceSelfAttentionDecoder: WORLD heads + dual source +
+    decoder self-attention (every kernel feature at once)."""
+    hp = tiny_hparams(
+        tacotron_model="DualSourceSelfAttentionMgcLf0TacotronModel",
+        encoder="SelfAttentionCBHGEncoder",
+        decoder="MgcLf0DualSourceSelfAttentionDecoder",
+        attention="forward",
+        attention2="additive",
+        decoder_prenet_drop_rate=0.0,
+        max_iters=6,
+        stop_token_threshold=2.0,
+        compute_dtype="float32",
+    )
+    got, _ = _parity_case(hp, tacotron_model_factory(hp))
+    assert len(got["alignments"]) == 2
+    assert got["lf0"].shape[-1] == hp.num_lf0s
 
 
 def test_fused_matches_xla_with_speaker_embedding():

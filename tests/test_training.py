@@ -164,3 +164,36 @@ def test_trainer_list_input_not_double_trained(tiny_setup, tmp_path):
     trainer.train(batches, num_steps=2)
     assert len(seen) == 2
     assert seen[0] != seen[1] or len(set(seen)) > 1  # not the same batch twice
+
+
+def test_mel_png_bf16_renders_identical_to_f32(tmp_path):
+    """matplotlib silently renders ml_dtypes.bfloat16 arrays as a BLANK
+    panel at mel-comparison shapes (reproduced 2026-08-17, and it blanked
+    every train/eval mel artifact under bf16 compute); the renderers must
+    cast, making the bf16 and f32 renders pixel-identical."""
+    import jax.numpy as jnp
+    import matplotlib.image as mpimg
+
+    from self_attention_tacotron_tpu.training.metrics import (
+        save_alignment_png,
+        save_mel_comparison_png,
+    )
+
+    t = np.arange(122)[:, None]
+    b = np.arange(80)[None, :]
+    mel = (np.exp(-((b - (8 + 6 * np.sin(t / 9))) ** 2) / 6.0) * 0.7).astype(
+        np.float32
+    )
+    mel16 = jnp.asarray(mel, jnp.bfloat16)
+    mel_q = np.asarray(mel16).astype(np.float32)  # same values, f32 container
+    p16, p32 = str(tmp_path / "bf16.png"), str(tmp_path / "f32.png")
+    save_mel_comparison_png(mel16, mel, p16, length=100)
+    save_mel_comparison_png(mel_q, mel, p32, length=100)
+    np.testing.assert_array_equal(mpimg.imread(p16), mpimg.imread(p32))
+
+    align = (mel[:, :40] / mel.max()).astype(np.float32)
+    align16 = jnp.asarray(align, jnp.bfloat16)
+    a16, a32 = str(tmp_path / "a16.png"), str(tmp_path / "a32.png")
+    save_alignment_png([align16], a16)
+    save_alignment_png([np.asarray(align16).astype(np.float32)], a32)
+    np.testing.assert_array_equal(mpimg.imread(a16), mpimg.imread(a32))
