@@ -109,6 +109,10 @@ def supports_fused_decode(hp) -> bool:
         return False
     if use_sa and hp.decoder_self_attention_num_hop != 1:
         return False
+    if hp.attention == "location_sensitive" and hp.attention_kernel % 2 == 0:
+        # the in-kernel SAME conv assumes odd tap count (centered window);
+        # nn.Conv pads even kernels asymmetrically → XLA fallback
+        return False
     return (
         hp.attention
         in ("forward", "forward_transition_agent", "location_sensitive")
