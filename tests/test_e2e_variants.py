@@ -85,3 +85,55 @@ def test_forced_alignment_predict():
     assert peaks[0] == 0
     assert (np.diff(peaks[: T // hp.outputs_per_step]) >= 0).all()
     assert peaks[T // hp.outputs_per_step - 1] > peaks[0]
+
+
+@pytest.mark.slow
+def test_location_sensitive_train_smoke(tmp_path):
+    """Location-sensitive attention family (ICASSP'19 comparison): corpus →
+    4 train steps → finite decreasing loss, and a predict call runs (the
+    fused kernel serves LS on accelerators; CPU takes the XLA loop)."""
+    hp = tiny_hparams(
+        tacotron_model="ExtendedTacotronV1Model",
+        encoder="EncoderV1",
+        decoder="ExtendedDecoder",
+        attention="location_sensitive",
+        attention_kernel=7,
+        attention_filters=4,
+        sample_rate=8000,
+        num_freq=129,
+        frame_length_ms=32,
+        frame_shift_ms=16,
+        batch_size=4,
+        batch_bucket_width=16,
+        save_checkpoints_steps=100,
+        max_iters=8,
+    )
+    root = tmp_path / "corpus"
+    generate_corpus(str(root), hp, num_utterances=6, min_symbols=4, max_symbols=8)
+    data = TacotronDataset(str(root), str(root), hp)
+    model = tacotron_model_factory(hp)
+    trainer = Trainer(model, str(tmp_path / "ckpt"))
+    first_loss = None
+    state = None
+    batches = data.batches(4, shuffle=True, repeat=True, prefetch=0)
+    state = trainer.train(batches, num_steps=4)
+    assert int(state.step) == 4
+    import json, os
+
+    lines = open(os.path.join(trainer.log_dir, "metrics.jsonl")).read().splitlines()
+    first = json.loads(lines[0])
+    last = json.loads(lines[-1])
+    assert np.isfinite(last["loss"]) and last["loss"] < first["loss"]
+
+    predict = make_predict_fn(model)
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    batch = next(iter(data.batches(4, shuffle=False, repeat=False, prefetch=0)))
+    out = predict(
+        variables,
+        {"source": jnp.asarray(batch["source"]),
+         "source_lengths": jnp.asarray(batch["source_lengths"])},
+        jax.random.PRNGKey(0),
+    )
+    assert np.isfinite(np.asarray(out["mel"])).all()
