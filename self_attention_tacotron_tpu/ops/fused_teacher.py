@@ -86,6 +86,39 @@ def _keep_u32(p: float) -> np.uint32:
     return np.uint32(min(int(p * 2**32), 2**32 - 1))
 
 
+def _acts_layout(cfg):
+    """Per-step activation row exported by the FORWARD kernel.
+
+    The round-2 backward recomputed the whole step from the carries (a
+    second forward pass: prenet + 3 LSTM matmuls + query/score matmuls +
+    2 softmaxes + 2 context reductions ≈ 13.5 µs of the 33.8 µs/step
+    backward). Exporting these activations instead (~500 KB/step, ring-
+    buffered DMA fully overlapped with compute; ~0.5 ms of HBM round trip
+    across 400 steps) turns the backward into a pure adjoint chain —
+    every gate/tanh value the chain needs is either here, in the carries
+    (states, alignments, contexts at t and t−1), or one cheap elementwise
+    op away. The only recomputed tensor is the (B, S, A) score tanh
+    (one VPU pass from the exported ``qp``), whose value feeds d_keys.
+    """
+    P1, P2 = cfg["prenet_units"]
+    AU, DU = cfg["att_units"], cfg["dec_units"]
+    S = cfg["src_len"]
+    a_tot = cfg["att1_units"] + (cfg["att2_units"] if cfg["dual"] else 0)
+    fields = [
+        ("z_att", 4 * AU), ("z1", 4 * DU), ("z2", 4 * DU),
+        ("x1_pre", P1), ("x2_pre", P2),
+        ("qp", a_tot), ("y1", S),
+    ]
+    if cfg["dual"]:
+        fields.append(("alpha2", S))
+    layout = {}
+    off = 0
+    for name, width in fields:
+        layout[name] = (off, width)
+        off += width
+    return layout, _ceil128(off)
+
+
 def fused_teacher_fits(
     *, batch: int, num_steps: int, src_len: int, feed_dim: int,
     dec_units: int, mem_dims: int, key_dim: int, io_bytes: int, dual: bool,
@@ -104,9 +137,10 @@ def fused_teacher_fits(
     # (N, B, ·): feeds + feature cotangent (f32) + alignment cotangent (f32)
     nb = num_steps * batch * (feed_dim * io_bytes + dec_units * 4 + align_pad * 4)
     # conditioning (keys + memories, io dtype) + d_keys accumulator (f32)
-    cond = batch * src_len * ((key_dim + mem_dims) * io_bytes + key_dim * 4)
-    # carry/stack DMA ring rows: conservative 4 KB/lane bound
-    rings = 6 * batch * 4096
+    # + the backward's canonical score-tanh scratch (f32)
+    cond = batch * src_len * ((key_dim + mem_dims) * io_bytes + key_dim * 8)
+    # carry/acts/stack DMA rings + canonicalization scratches (~80 KB/lane)
+    rings = batch * 80 * 1024
     margin = 6 * 1024 * 1024  # weights + transposed weights + small refs
     return nb + cond + rings + margin < budget
 
@@ -116,30 +150,20 @@ def fused_teacher_fits(
 # --------------------------------------------------------------------------- #
 
 
-def _make_step_fns(cfg, refs):
-    """Build the per-step recompute closure over the weight refs.
+def _make_mask_fns(cfg):
+    """Stochastic-mask regeneration shared by forward and backward.
 
-    ``refs`` maps names → VMEM refs. Returns ``recompute(t, carry_in,
-    feed) -> internals dict`` where ``carry_in`` is the dict of previous-
-    step tensors. The PRNG must already be seeded for step t; draws
-    happen in a fixed order (pmask1, pmask2, z_att_c, z_att_h, z1_c,
-    z1_h, z2_c, z2_h).
+    Draws happen in a fixed global order per step (pmask1, pmask2,
+    z_att_c, z_att_h, z1_c, z1_h, z2_c, z2_h, with disabled kinds
+    skipped) so the backward reproduces the forward's masks bit-
+    identically from the same per-step seed.
     """
     B = cfg["batch"]
-    S = cfg["src_len"]
-    P1, P2 = cfg["prenet_units"]
-    dual = cfg["dual"]
-    use_ta = cfg["use_ta"]
-    SPK = cfg["spk_dim"]
-    io_dtype = jnp.bfloat16 if cfg["io_dtype"] == "bfloat16" else jnp.float32
     zc, zo = cfg["zoneout_cell"], cfg["zoneout_output"]
     keep = 1.0 - cfg["prenet_drop_rate"]
     keep_bits = _keep_u32(keep)
     zc_bits = _keep_u32(zc)
     zo_bits = _keep_u32(zo)
-    A1 = cfg["att1_units"]
-    a_tot = A1 + (cfg["att2_units"] if dual else 0)
-
     interpret = cfg["interpret"]
     draw_counter = [0]  # static draw id; trace order is identical fwd/bwd
 
@@ -177,17 +201,44 @@ def _make_step_fns(cfg, refs):
         else:
             pltpu.prng_seed(seed_plus_t)
 
-    def dropout_fwd(x, width):
-        if keep >= 1.0:
-            return x, None
-        m = draw_mask((B, width), keep_bits)
-        return x * m * (1.0 / keep), m
+    def prenet_mask(width):
+        return draw_mask((B, width), keep_bits) if keep < 1.0 else None
 
     def zoneout_masks(width):
         # keep_old masks (1.0 = keep previous state), drawn c then h
         mc = draw_mask((B, width), zc_bits) if zc > 0.0 else None
         mh = draw_mask((B, width), zo_bits) if zo > 0.0 else None
         return mc, mh
+
+    return seed_step, prenet_mask, zoneout_masks
+
+
+def _make_step_fns(cfg, refs):
+    """Build the per-step forward-compute closure over the weight refs.
+
+    ``refs`` maps names → VMEM refs. Returns ``recompute(t, carry_in,
+    feed) -> internals dict`` where ``carry_in`` is the dict of previous-
+    step tensors. The PRNG must already be seeded for step t via the
+    returned ``seed_step``.
+    """
+    B = cfg["batch"]
+    S = cfg["src_len"]
+    P1, P2 = cfg["prenet_units"]
+    dual = cfg["dual"]
+    use_ta = cfg["use_ta"]
+    SPK = cfg["spk_dim"]
+    io_dtype = jnp.bfloat16 if cfg["io_dtype"] == "bfloat16" else jnp.float32
+    keep = 1.0 - cfg["prenet_drop_rate"]
+    A1 = cfg["att1_units"]
+    a_tot = A1 + (cfg["att2_units"] if dual else 0)
+
+    seed_step, prenet_mask, zoneout_masks = _make_mask_fns(cfg)
+
+    def dropout_fwd(x, width):
+        m = prenet_mask(width)
+        if m is None:
+            return x, None
+        return x * m * (1.0 / keep), m
 
     def lstm_fwd(xh, w_ref, b_ref, c_prev, h_prev, mc, mh):
         z = jnp.dot(
@@ -309,6 +360,7 @@ def _make_fwd_kernel(cfg):
     AU, DU = cfg["att_units"], cfg["dec_units"]
     dual = cfg["dual"]
     layout, c_pad = _carry_layout(cfg)
+    alayout, a_pad = _acts_layout(cfg)
     align_w = (2 if dual else 1) * S
     align_pad = _ceil128(align_w)
     stochastic = cfg["prenet_drop_rate"] > 0.0 or (
@@ -318,16 +370,28 @@ def _make_fwd_kernel(cfg):
     def kernel(seed_ref, *args):
         refs = dict(zip(_FWD_REF_NAMES, args[: len(_FWD_REF_NAMES)]))
         rest = args[len(_FWD_REF_NAMES):]
-        feat_out, align_out, carry_hbm = rest[0], rest[1], rest[2]
-        carry_row, carry_sem = rest[3], rest[4]
+        feat_out, align_out, carry_hbm, acts_hbm = rest[0], rest[1], rest[2], rest[3]
+        carry_row, carry_sem, acts_row, acts_sem = rest[4], rest[5], rest[6], rest[7]
         recompute, seed_step = _make_step_fns(cfg, refs)
         width_total = max(off + w for off, w in layout.values())
+        a_width = max(off + w for off, w in alayout.values())
 
         def pack_carry(slot, cout):
             row = jnp.concatenate(
                 [cout[name] for name in layout], axis=-1
             )
             carry_row[slot] = jnp.pad(row, ((0, 0), (0, c_pad - width_total)))
+
+        def pack_acts(slot, it):
+            vals = dict(
+                z_att=it["att"]["z"], z1=it["l1"]["z"], z2=it["l2"]["z"],
+                x1_pre=it["x1_pre"], x2_pre=it["x2_pre"],
+                qp=it["qp"], y1=it["y1"],
+            )
+            if dual:
+                vals["alpha2"] = it["alpha2"]
+            row = jnp.concatenate([vals[name] for name in alayout], axis=-1)
+            acts_row[slot] = jnp.pad(row, ((0, 0), (0, a_pad - a_width)))
 
         def step(t, carry):
             cin = dict(zip(
@@ -357,7 +421,7 @@ def _make_fwd_kernel(cfg):
             if dual:
                 cout["ctx2"] = it["ctx2"]
 
-            # 2-slot ring: wait for the copy issued 2 steps ago, refill, send
+            # 2-slot rings: wait for the copies issued 2 steps ago, refill
             slot = jax.lax.rem(t, 2)
 
             @pl.when(t >= 2)
@@ -367,12 +431,23 @@ def _make_fwd_kernel(cfg):
                     carry_hbm.at[pl.ds(t - 2, 1)],
                     carry_sem.at[slot],
                 ).wait()
+                pltpu.make_async_copy(
+                    acts_row.at[pl.ds(slot, 1)],
+                    acts_hbm.at[pl.ds(t - 2, 1)],
+                    acts_sem.at[slot],
+                ).wait()
 
             pack_carry(slot, cout)
             pltpu.make_async_copy(
                 carry_row.at[pl.ds(slot, 1)],
                 carry_hbm.at[pl.ds(t, 1)],
                 carry_sem.at[slot],
+            ).start()
+            pack_acts(slot, it)
+            pltpu.make_async_copy(
+                acts_row.at[pl.ds(slot, 1)],
+                acts_hbm.at[pl.ds(t, 1)],
+                acts_sem.at[slot],
             ).start()
 
             return (
@@ -393,12 +468,17 @@ def _make_fwd_kernel(cfg):
         )
         jax.lax.fori_loop(0, N, step, init)
 
-        # drain the ring (N is static)
+        # drain the rings (N is static)
         for slot in range(min(N, 2)):
             pltpu.make_async_copy(
                 carry_row.at[slot : slot + 1],
                 carry_hbm.at[pl.ds(0, 1)],
                 carry_sem.at[slot],
+            ).wait()
+            pltpu.make_async_copy(
+                acts_row.at[slot : slot + 1],
+                acts_hbm.at[pl.ds(0, 1)],
+                acts_sem.at[slot],
             ).wait()
 
     return kernel, c_pad, align_pad
@@ -411,6 +491,10 @@ def _make_fwd_kernel(cfg):
 _BWD_EXTRA_REF_NAMES = (
     # transposed weights for input-gradient matmuls (precomputed host-side)
     "w_p1T", "w_p2T", "w_attgT", "w_qpT", "vblkT", "w_taT", "w_l1T", "w_l2T",
+    # per-source score vectors as (1, a_tot) rows: the score backward uses
+    # outer-product broadcasts (a sublane slice of vblkT produces a
+    # replicated layout Mosaic cannot push through the later reductions)
+    "v1row", "v2row",
 )
 
 _GRAD_NAMES = ("d_keys", "d_vblk", "d_spk")
@@ -464,6 +548,7 @@ def _make_bwd_kernel(cfg):
     E2 = cfg["mem2_dim"] if dual else 0
     keep = 1.0 - cfg["prenet_drop_rate"]
     layout, c_pad = _carry_layout(cfg)
+    alayout, a_pad = _acts_layout(cfg)
     slayout, k_pad = _stack_layout(cfg)
     s_width = max(off + w for off, w in slayout.values())
     align_w = (2 if dual else 1) * S
@@ -471,14 +556,6 @@ def _make_bwd_kernel(cfg):
         cfg["zoneout_cell"] > 0.0 or cfg["zoneout_output"] > 0.0
     )
     io_dtype = jnp.bfloat16 if cfg["io_dtype"] == "bfloat16" else jnp.float32
-
-    def dTb(x, g):
-        """xᵀ @ g with x (B, I), g (B, O) → (I, O), contracting the batch."""
-        return jax.lax.dot_general(
-            x.astype(io_dtype), g.astype(io_dtype),
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
 
     def kernel(seed_ref, *args):
         refs = dict(zip(_FWD_REF_NAMES, args[: len(_FWD_REF_NAMES)]))
@@ -489,12 +566,15 @@ def _make_bwd_kernel(cfg):
         g_feat_ref = args[pos]; pos += 1      # (N, B, DU) f32 VMEM
         g_align_ref = args[pos]; pos += 1     # (N, B, align_pad) f32 VMEM
         carry_hbm = args[pos]; pos += 1       # (N, B, c_pad) f32 ANY
+        acts_hbm = args[pos]; pos += 1        # (N, B, a_pad) f32 ANY
         grads = dict(zip(_GRAD_NAMES, args[pos : pos + len(_GRAD_NAMES)]))
         pos += len(_GRAD_NAMES)
         stack_hbm = args[pos]; pos += 1       # (N, B, k_pad) f32 ANY out
-        carry_buf, carry_sem, stack_row, stack_sem = args[pos : pos + 4]
+        (carry_buf, carry_sem, acts_buf, acts_sem,
+         canon_y1, canon_a2, canon_qp, canon_tq, canon_red,
+         stack_row, stack_sem) = args[pos : pos + 11]
 
-        recompute, seed_step = _make_step_fns(cfg, refs)
+        seed_step, prenet_mask, zoneout_masks = _make_mask_fns(cfg)
 
         # zero the accumulators
         for name in _GRAD_NAMES:
@@ -531,12 +611,29 @@ def _make_bwd_kernel(cfg):
         def softmax_bwd(a, g_a):
             return a * (g_a - jnp.sum(g_a * a, axis=-1, keepdims=True))
 
+        def lstm_vals(z, c_prev, mz):
+            """Gate values from the exported pre-activations (no matmul)."""
+            u = z.shape[-1] // 4
+            i_, g_ = z[:, :u], z[:, u : 2 * u]
+            f_, o_ = z[:, 2 * u : 3 * u], z[:, 3 * u :]
+            si, tg = _sigmoid(i_), jnp.tanh(g_)
+            sf, so = _sigmoid(f_ + 1.0), _sigmoid(o_)
+            c_new = sf * c_prev + si * tg
+            tc = jnp.tanh(c_new)
+            return dict(
+                z=z, si=si, tg=tg, sf=sf, so=so, c_new=c_new, tc=tc,
+                mc=mz[0], mh=mz[1],
+            )
+
         def step(i, carry_grads):
             t = N - 1 - i
             (g_c_att, g_h_att, g_c1, g_h1, g_c2, g_h2,
              g_ctx1_c, g_ctx2_c, g_alpha_c, g_u_c) = carry_grads
 
-            # fetch carry_in = carries[t-1] (or the initial state at t=0)
+            # fetch carries[t−1] (slot 0; init state replaces it at t=0)
+            # and carries[t] (slot 1) + the step's activation row. Static
+            # buffer slots: Mosaic cannot lower dynamic leading-index VMEM
+            # loads, and where-selected rows trip relayout inference.
             @pl.when(t > 0)
             def _():
                 pltpu.make_async_copy(
@@ -550,12 +647,39 @@ def _make_bwd_kernel(cfg):
                     carry_sem.at[0],
                 ).wait()
 
-            row = carry_buf[0]
+            pltpu.make_async_copy(
+                carry_hbm.at[pl.ds(t, 1)], carry_buf.at[pl.ds(1, 1)],
+                carry_sem.at[0],
+            ).start()
+            pltpu.make_async_copy(
+                carry_hbm.at[pl.ds(t, 1)], carry_buf.at[pl.ds(1, 1)],
+                carry_sem.at[0],
+            ).wait()
+            pltpu.make_async_copy(
+                acts_hbm.at[pl.ds(t, 1)], acts_buf.at[pl.ds(0, 1)],
+                acts_sem.at[0],
+            ).start()
+            pltpu.make_async_copy(
+                acts_hbm.at[pl.ds(t, 1)], acts_buf.at[pl.ds(0, 1)],
+                acts_sem.at[0],
+            ).wait()
+
+            prev_row = carry_buf[0]
+            cur_row = carry_buf[1]
+            acts_row_v = acts_buf[0]
             t_is0 = (t == 0)
 
             def unpack(name):
                 off, width = layout[name]
-                return row[:, off : off + width]
+                return prev_row[:, off : off + width]
+
+            def cur(name):
+                off, width = layout[name]
+                return cur_row[:, off : off + width]
+
+            def acts(name):
+                off, width = alayout[name]
+                return acts_row_v[:, off : off + width]
 
             init_alpha = (
                 jax.lax.broadcasted_iota(jnp.int32, (B, S), 1) == 0
@@ -572,10 +696,54 @@ def _make_bwd_kernel(cfg):
             if dual:
                 cin["ctx2"] = zsel(unpack("ctx2"))
 
+            # masks regenerate in the forward's exact draw order
             if stochastic:
                 seed_step(seed_ref[0] + t)
-            feed = refs["feeds"][t]
-            it = recompute(t, cin, feed)
+            m1 = prenet_mask(P1)
+            m2 = prenet_mask(P2)
+            mz_att = zoneout_masks(AU)
+            mz1 = zoneout_masks(DU)
+            mz2 = zoneout_masks(DU)
+
+            # canonicalize the slices that feed reshapes/broadcasts: a
+            # store/load round-trip through a scratch ref forces the
+            # canonical tiled layout (raw row-offset layouts trip Mosaic's
+            # relayout inference in the (B,S)→(B·S,1) reshape and the
+            # qp[:, None, :] broadcast)
+            canon_y1[:] = acts("y1")
+            canon_qp[:] = acts("qp")
+            if dual:
+                canon_a2[:] = acts("alpha2")
+
+            # the step's internals, from exports instead of recompute: the
+            # only recomputed tensor is the (B, S, A) score tanh
+            it = dict(
+                att=lstm_vals(acts("z_att"), cin["c_att"], mz_att),
+                l1=lstm_vals(acts("z1"), cin["c1"], mz1),
+                l2=lstm_vals(acts("z2"), cin["c2"], mz2),
+                x1_pre=acts("x1_pre"), x2_pre=acts("x2_pre"),
+                m1=m1, m2=m2,
+                y1=canon_y1[:], alpha1=cur("alpha"), u_new=cur("u"),
+            )
+            x1_relu = jnp.maximum(it["x1_pre"], 0.0)
+            it["x1"] = x1_relu * m1 * (1.0 / keep) if m1 is not None else x1_relu
+            x2_relu = jnp.maximum(it["x2_pre"], 0.0)
+            it["x2"] = x2_relu * m2 * (1.0 / keep) if m2 is not None else x2_relu
+            shifted = pltpu.roll(cin["alpha"], 1, axis=1)
+            colS = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+            shifted = jnp.where(colS == 0, 0.0, shifted)
+            w_rec = (1.0 - cin["u"]) * cin["alpha"] + cin["u"] * shifted + _EPS
+            it.update(
+                shifted=shifted, w_rec=w_rec,
+                s_hat=jnp.sum(w_rec * it["y1"], axis=-1, keepdims=True),
+            )
+            # the one recomputed tensor: the (B, S, A) score tanh, stored
+            # to scratch so downstream broadcasts see a canonical layout
+            canon_tq[:] = jnp.tanh(
+                refs["keys"][:].astype(jnp.float32) + canon_qp[:][:, None, :]
+            )
+            if dual:
+                it["alpha2"] = canon_a2[:]
 
             # ---- gradients flowing into this step's outputs ----
             gf = g_feat_ref[t]
@@ -652,21 +820,37 @@ def _make_bwd_kernel(cfg):
             g_e1 = softmax_bwd(it["y1"], g_y1)
 
             # ---- fused scores backward ----
+            # outer-product broadcasts instead of the round-2 (B·S, n_src)
+            # thin matmuls: with acts-derived layouts Mosaic cannot shape-
+            # cast (B, S) → (B·S, 1), and the width-≤2 matmuls were MXU-
+            # hostile anyway. Only broadcast patterns proven elsewhere in
+            # these kernels are used — (1,1,A)/(B,1,A) against a canonical
+            # 3D value, and (B,S,1) against a canonical 3D value (the
+            # context-reduction pattern); tq is canonical via the scratch.
+            tq = canon_tq[:]                                  # (B, S, a_tot)
+            one_m_tq2 = 1.0 - tq * tq
+            v1r = refs["v1row"][:].astype(jnp.float32)        # (1, 1, a_tot)
+            g_pre = g_e1[:, :, None] * (v1r * one_m_tq2)
             if dual:
-                g_e2d = jnp.concatenate(
-                    [g_e1.reshape(B * S, 1), g_e2.reshape(B * S, 1)], axis=-1
-                )
-            else:
-                g_e2d = g_e1.reshape(B * S, 1)
-            tq2d = it["tq"].reshape(B * S, a_tot)
-            grads["d_vblk"][:] = grads["d_vblk"][:] + dTb(tq2d, g_e2d)
-            g_tq = jnp.dot(
-                g_e2d.astype(io_dtype), refs["vblkT"][:].astype(io_dtype),
-                preferred_element_type=jnp.float32,
-            )
-            g_pre = (g_tq * (1.0 - tq2d * tq2d)).reshape(B, S, a_tot)
+                v2r = refs["v2row"][:].astype(jnp.float32)
+                g_pre = g_pre + g_e2[:, :, None] * (v2r * one_m_tq2)
             grads["d_keys"][:] = grads["d_keys"][:] + g_pre
-            g_qp = jnp.sum(g_pre, axis=1)
+            # staged reductions: a sum(3D, axis=1) result carries an
+            # implicit-dim layout that cannot feed another reduce or the
+            # stack concat directly — round-trip through scratch. canon_qp
+            # is free for reuse once tq is built.
+            canon_qp[:] = jnp.sum(g_pre, axis=1)
+            g_qp = canon_qp[:]
+            # d_vblk rows (n_src, a_tot): Σ_{b,s} tq · g_e per source
+            canon_red[:] = jnp.sum(g_e1[:, :, None] * tq, axis=1)
+            grads["d_vblk"][0:1, :] = grads["d_vblk"][0:1, :] + jnp.sum(
+                canon_red[:], axis=0, keepdims=True
+            )
+            if dual:
+                canon_red[:] = jnp.sum(g_e2[:, :, None] * tq, axis=1)
+                grads["d_vblk"][1:2, :] = grads["d_vblk"][1:2, :] + jnp.sum(
+                    canon_red[:], axis=0, keepdims=True
+                )
             g_query = g_query + jnp.dot(
                 g_qp.astype(io_dtype), refs["w_qpT"][:],
                 preferred_element_type=jnp.float32,
@@ -767,6 +951,7 @@ def _vmem_specs(n):
 def _run_fwd(operands: Tuple, cfg_key: Tuple):
     cfg = dict(cfg_key)
     kernel, c_pad, align_pad = _make_fwd_kernel(cfg)
+    _, a_pad = _acts_layout(cfg)
     B, N = cfg["batch"], cfg["num_steps"]
     DU = cfg["dec_units"]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -777,9 +962,12 @@ def _run_fwd(operands: Tuple, cfg_key: Tuple):
             pl.BlockSpec(memory_space=pltpu.VMEM),   # features
             pl.BlockSpec(memory_space=pltpu.VMEM),   # alignments
             pl.BlockSpec(memory_space=pl.ANY),       # carries (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # activations (HBM)
         ),
         scratch_shapes=[
             pltpu.VMEM((2, B, c_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, B, a_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -790,6 +978,7 @@ def _run_fwd(operands: Tuple, cfg_key: Tuple):
             jax.ShapeDtypeStruct((N, B, DU), jnp.float32),
             jax.ShapeDtypeStruct((N, B, align_pad), jnp.float32),
             jax.ShapeDtypeStruct((N, B, c_pad), jnp.float32),
+            jax.ShapeDtypeStruct((N, B, a_pad), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=100 * 1024 * 1024
@@ -812,16 +1001,18 @@ def _run_bwd(operands: Tuple, cfg_key: Tuple):
 
     out_shapes = (
         jax.ShapeDtypeStruct((B, S, a_tot), jnp.float32),   # d_keys
-        jax.ShapeDtypeStruct((a_tot, n_src), jnp.float32),  # d_vblk
+        jax.ShapeDtypeStruct((n_src, a_tot), jnp.float32),  # d_vblk (rows)
         jax.ShapeDtypeStruct((B, max(SPK, 1)), jnp.float32),  # d_spk
         jax.ShapeDtypeStruct((N, B, k_pad), jnp.float32),   # gradient stacks
     )
+    _, a_pad = _acts_layout(cfg)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(),
         in_specs=(
-            _vmem_specs(len(operands) - 2)
+            _vmem_specs(len(operands) - 3)
             + [pl.BlockSpec(memory_space=pl.ANY)]   # carries (HBM)
+            + [pl.BlockSpec(memory_space=pl.ANY)]   # activations (HBM)
         ),
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -830,8 +1021,15 @@ def _run_bwd(operands: Tuple, cfg_key: Tuple):
             pl.BlockSpec(memory_space=pl.ANY),      # stacks (HBM)
         ),
         scratch_shapes=[
-            pltpu.VMEM((1, B, c_pad), jnp.float32),
+            pltpu.VMEM((2, B, c_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((1,)),
+            pltpu.VMEM((1, B, a_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.VMEM((B, S), jnp.float32),       # canonical y1
+            pltpu.VMEM((B, S), jnp.float32),       # canonical alpha2
+            pltpu.VMEM((B, a_tot), jnp.float32),   # canonical qp
+            pltpu.VMEM((B, S, a_tot), jnp.float32),  # canonical score tanh
+            pltpu.VMEM((B, a_tot), jnp.float32),     # staged reductions
             pltpu.VMEM((2, B, k_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -889,19 +1087,19 @@ def _common_operands(cfg, weights, conds, feeds, seed):
 def _teacher_decode_fwd(cfg_key, weights, conds, feeds, seed):
     cfg = dict(cfg_key)
     operands = _common_operands(cfg, weights, conds, feeds, seed)
-    features, aligns, carries = _run_fwd(operands, cfg_key)
+    features, aligns, carries, acts = _run_fwd(operands, cfg_key)
     S = cfg["src_len"]
     n_src = 2 if cfg["dual"] else 1
     aligns = aligns[..., : n_src * S]
     out = (features, aligns)
     # aligns are residuals too: the outside-batched d_mem einsums use the
-    # per-step alignment stacks (bitwise equal to the bwd recompute)
-    return out, (weights, conds, feeds, seed, carries, aligns)
+    # per-step alignment stacks (bitwise equal to the forward's values)
+    return out, (weights, conds, feeds, seed, carries, acts, aligns)
 
 
 def _teacher_decode_bwd(cfg_key, residuals, cotangents):
     cfg = dict(cfg_key)
-    weights, conds, feeds, seed, carries, aligns = residuals
+    weights, conds, feeds, seed, carries, acts, aligns = residuals
     g_feat, g_align = cotangents
     S = cfg["src_len"]
     n_src = 2 if cfg["dual"] else 1
@@ -916,13 +1114,23 @@ def _teacher_decode_bwd(cfg_key, residuals, cotangents):
         else (lambda x: jnp.asarray(x, jnp.float32))
     )
     tr = lambda x: io(jnp.transpose(x))
+    vblk_f = jnp.asarray(weights["vblk"], jnp.float32)   # (a_tot, n_src)
+    a_tot_w = vblk_f.shape[0]
+    v1row = jnp.transpose(vblk_f[:, 0:1]).reshape(1, 1, a_tot_w)
+    v2row = (
+        jnp.transpose(vblk_f[:, 1:2]).reshape(1, 1, a_tot_w)
+        if vblk_f.shape[1] > 1
+        else jnp.zeros_like(v1row)
+    )
     operands = _common_operands(cfg, weights, conds, feeds, seed) + (
         tr(weights["w_p1"]), tr(weights["w_p2"]), tr(weights["w_attg"]),
         tr(weights["w_qp"]), tr(weights["vblk"]), tr(weights["w_ta"]),
         tr(weights["w_l1"]), tr(weights["w_l2"]),
+        v1row, v2row,
         jnp.asarray(g_feat, jnp.float32),
         g_align,
         carries,
+        acts,
     )
     outs = _run_bwd(operands, cfg_key)
     g = dict(zip(_GRAD_NAMES, outs))
@@ -996,7 +1204,7 @@ def _teacher_decode_bwd(cfg_key, residuals, cotangents):
         "w_p1": dT(feeds_nb, scol("g_x1pre")), "b_p1": bsum(scol("g_x1pre")),
         "w_p2": dT(scol("x1"), scol("g_x2pre")), "b_p2": bsum(scol("g_x2pre")),
         "w_attg": dT(att_in, g_z_att), "b_attg": bsum(g_z_att),
-        "w_qp": dT(h_att_t, scol("g_qp")), "vblk": g["d_vblk"],
+        "w_qp": dT(h_att_t, scol("g_qp")), "vblk": jnp.transpose(g["d_vblk"]),
         "w_l1": dT(din1, scol("g_z1")), "b_l1": bsum(scol("g_z1")),
         "w_l2": dT(din2, scol("g_z2")), "b_l2": bsum(scol("g_z2")),
     }
