@@ -630,10 +630,12 @@ def _make_bwd_kernel(cfg):
             (g_c_att, g_h_att, g_c1, g_h1, g_c2, g_h2,
              g_ctx1_c, g_ctx2_c, g_alpha_c, g_u_c) = carry_grads
 
-            # fetch carries[t−1] (slot 0; init state replaces it at t=0)
-            # and carries[t] (slot 1) + the step's activation row. Static
+            # fetch carries[t−1] (slot 0; init state replaces it at t=0),
+            # carries[t] (slot 1), and the step's activation row. Static
             # buffer slots: Mosaic cannot lower dynamic leading-index VMEM
-            # loads, and where-selected rows trip relayout inference.
+            # loads, and where-selected rows trip relayout inference. All
+            # three copies are issued before any wait so the DMA latency
+            # is paid once, not three times.
             @pl.when(t > 0)
             def _():
                 pltpu.make_async_copy(
@@ -641,6 +643,18 @@ def _make_bwd_kernel(cfg):
                     carry_buf.at[pl.ds(0, 1)],
                     carry_sem.at[0],
                 ).start()
+
+            pltpu.make_async_copy(
+                carry_hbm.at[pl.ds(t, 1)], carry_buf.at[pl.ds(1, 1)],
+                carry_sem.at[0],
+            ).start()
+            pltpu.make_async_copy(
+                acts_hbm.at[pl.ds(t, 1)], acts_buf.at[pl.ds(0, 1)],
+                acts_sem.at[0],
+            ).start()
+
+            @pl.when(t > 0)
+            def _():
                 pltpu.make_async_copy(
                     carry_hbm.at[pl.ds(t - 1, 1)],
                     carry_buf.at[pl.ds(0, 1)],
@@ -650,15 +664,7 @@ def _make_bwd_kernel(cfg):
             pltpu.make_async_copy(
                 carry_hbm.at[pl.ds(t, 1)], carry_buf.at[pl.ds(1, 1)],
                 carry_sem.at[0],
-            ).start()
-            pltpu.make_async_copy(
-                carry_hbm.at[pl.ds(t, 1)], carry_buf.at[pl.ds(1, 1)],
-                carry_sem.at[0],
             ).wait()
-            pltpu.make_async_copy(
-                acts_hbm.at[pl.ds(t, 1)], acts_buf.at[pl.ds(0, 1)],
-                acts_sem.at[0],
-            ).start()
             pltpu.make_async_copy(
                 acts_hbm.at[pl.ds(t, 1)], acts_buf.at[pl.ds(0, 1)],
                 acts_sem.at[0],
