@@ -370,7 +370,6 @@ def _make_kernel(cfg: Dict[str, Any]):
                 ctx1 = ctx1 + qp[:, :1] * 0.0
                 ctx2 = ctx2
             else:
-                a_tot = A1 + A2 if dual else A1
                 pre = keys_ref[:].astype(jnp.float32) + qp[:, None, :]
                 if src1_kind == "location_sensitive":
                     loc = ls_features(cum1 if ls_cumulative else alpha1)
@@ -378,6 +377,12 @@ def _make_kernel(cfg: Dict[str, Any]):
                         loc = jnp.pad(loc, ((0, 0), (0, 0), (0, A2)))
                     pre = pre + loc
                 tq = jnp.tanh(pre)  # (B, S, A1[+A2])
+                # ONE thin matmul for both sources' scores. Measured
+                # alternative (2026-08-17): lane reductions against padded
+                # score vectors cost 16.65 vs 15.79 ms/decode — the two
+                # broadcast-reduce passes re-read the 1M-element tq twice
+                # and lose to the single matmul despite its ≤2-lane output
+                a_tot = A1 + A2 if dual else A1
                 e2d = jnp.dot(
                     tq.reshape(B * S, a_tot),
                     vblk_ref[:].astype(jnp.float32),

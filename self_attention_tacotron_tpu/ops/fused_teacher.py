@@ -290,6 +290,9 @@ def _make_step_fns(cfg, refs):
             preferred_element_type=jnp.float32,
         )
         tq = jnp.tanh(refs["keys"][:].astype(jnp.float32) + qp[:, None, :])
+        # ONE thin matmul for both sources' scores (lane reductions against
+        # padded score vectors measured SLOWER in the forward direction —
+        # 15.4 vs 13.6 µs/step: two broadcast-reduce passes re-read tq)
         e2d = jnp.dot(
             tq.reshape(B * S, a_tot), refs["vblk"][:].astype(jnp.float32),
             preferred_element_type=jnp.float32,
@@ -305,7 +308,7 @@ def _make_step_fns(cfg, refs):
         alpha1 = alpha_hat / s_hat
         ctx1 = jnp.sum(alpha1[:, :, None] * refs["mem1"][:].astype(jnp.float32), axis=1)
         it.update(
-            qp=qp, tq=tq, e2d=e2d, y1=y1, shifted=shifted, w_rec=w_rec,
+            qp=qp, tq=tq, y1=y1, shifted=shifted, w_rec=w_rec,
             s_hat=s_hat, alpha1=alpha1, ctx1=ctx1, query=query,
         )
 
@@ -352,6 +355,12 @@ _FWD_REF_NAMES = (
     "w_p1", "b_p1", "w_p2", "b_p2",
     "w_attg", "b_attg", "w_qp", "vblk", "w_ta", "b_ta",
     "w_l1", "b_l1", "w_l2", "b_l2",
+    # per-source score vectors (1, 1, a_tot), derived from vblk: the
+    # BACKWARD backprops the scores as outer-product broadcasts (the
+    # round-2 (B·S, n_src) matmul's shape-casts don't lower under the
+    # acts-derived layouts); the forward keeps the single thin matmul,
+    # which measured FASTER than lane reductions (13.6 vs 15.4 µs/step)
+    "vcol1", "vcol2",
 )
 
 
@@ -490,11 +499,7 @@ def _make_fwd_kernel(cfg):
 
 _BWD_EXTRA_REF_NAMES = (
     # transposed weights for input-gradient matmuls (precomputed host-side)
-    "w_p1T", "w_p2T", "w_attgT", "w_qpT", "vblkT", "w_taT", "w_l1T", "w_l2T",
-    # per-source score vectors as (1, a_tot) rows: the score backward uses
-    # outer-product broadcasts (a sublane slice of vblkT produces a
-    # replicated layout Mosaic cannot push through the later reductions)
-    "v1row", "v2row",
+    "w_p1T", "w_p2T", "w_attgT", "w_qpT", "w_taT", "w_l1T", "w_l2T",
 )
 
 _GRAD_NAMES = ("d_keys", "d_vblk", "d_spk")
@@ -835,10 +840,10 @@ def _make_bwd_kernel(cfg):
             # context-reduction pattern); tq is canonical via the scratch.
             tq = canon_tq[:]                                  # (B, S, a_tot)
             one_m_tq2 = 1.0 - tq * tq
-            v1r = refs["v1row"][:].astype(jnp.float32)        # (1, 1, a_tot)
+            v1r = refs["vcol1"][:].astype(jnp.float32)        # (1, 1, a_tot)
             g_pre = g_e1[:, :, None] * (v1r * one_m_tq2)
             if dual:
-                v2r = refs["v2row"][:].astype(jnp.float32)
+                v2r = refs["vcol2"][:].astype(jnp.float32)
                 g_pre = g_pre + g_e2[:, :, None] * (v2r * one_m_tq2)
             grads["d_keys"][:] = grads["d_keys"][:] + g_pre
             # staged reductions: a sum(3D, axis=1) result carries an
@@ -1079,6 +1084,15 @@ def _common_operands(cfg, weights, conds, feeds, seed):
     B = cfg["batch"]
     spk = conds.get("spk")
     mem2 = conds.get("mem2")
+    # per-source score vectors from the (a_tot, n_src) block matrix
+    vblk_f = jnp.asarray(weights["vblk"], jnp.float32)
+    a_tot = vblk_f.shape[0]
+    vcol1 = jnp.transpose(vblk_f[:, 0:1]).reshape(1, 1, a_tot)
+    vcol2 = (
+        jnp.transpose(vblk_f[:, 1:2]).reshape(1, 1, a_tot)
+        if vblk_f.shape[1] > 1
+        else jnp.zeros_like(vcol1)
+    )
     return (
         jnp.asarray(seed, jnp.int32).reshape(1),
         io(jnp.transpose(feeds, (1, 0, 2))),                  # (N, B, F)
@@ -1087,7 +1101,7 @@ def _common_operands(cfg, weights, conds, feeds, seed):
         io(conds["keys"]),
         io(conds["mem1"]),
         io(mem2) if mem2 is not None else jnp.zeros((8, 8, 128), jnp.bfloat16),
-    ) + _weights_to_operands(weights, io)
+    ) + _weights_to_operands(weights, io) + (vcol1, vcol2)
 
 
 def _teacher_decode_fwd(cfg_key, weights, conds, feeds, seed):
@@ -1120,19 +1134,10 @@ def _teacher_decode_bwd(cfg_key, residuals, cotangents):
         else (lambda x: jnp.asarray(x, jnp.float32))
     )
     tr = lambda x: io(jnp.transpose(x))
-    vblk_f = jnp.asarray(weights["vblk"], jnp.float32)   # (a_tot, n_src)
-    a_tot_w = vblk_f.shape[0]
-    v1row = jnp.transpose(vblk_f[:, 0:1]).reshape(1, 1, a_tot_w)
-    v2row = (
-        jnp.transpose(vblk_f[:, 1:2]).reshape(1, 1, a_tot_w)
-        if vblk_f.shape[1] > 1
-        else jnp.zeros_like(v1row)
-    )
     operands = _common_operands(cfg, weights, conds, feeds, seed) + (
         tr(weights["w_p1"]), tr(weights["w_p2"]), tr(weights["w_attg"]),
-        tr(weights["w_qp"]), tr(weights["vblk"]), tr(weights["w_ta"]),
+        tr(weights["w_qp"]), tr(weights["w_ta"]),
         tr(weights["w_l1"]), tr(weights["w_l2"]),
-        v1row, v2row,
         jnp.asarray(g_feat, jnp.float32),
         g_align,
         carries,
