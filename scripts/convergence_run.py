@@ -222,13 +222,14 @@ def score_predictions(data_dir: str, list_dir: str, pred_dir: str) -> dict:
         )
     errs = np.asarray([abs(r["length_error"]) for r in rows], np.float64)
     mses = np.asarray([r["mel_mse"] for r in rows], np.float64)
+    frame_cap = hp.max_iters * hp.outputs_per_step
     return dict(
         utterances=rows,
         n_scored=len(rows),
         median_abs_length_error_frames=float(np.median(errs)) if len(errs) else None,
         max_abs_length_error_frames=float(errs.max()) if len(errs) else None,
         all_stopped_before_cap=bool(
-            all(r["predicted_frames"] < 2 * 500 for r in rows)
+            all(r["predicted_frames"] < frame_cap for r in rows)
         ),
         mean_mel_mse=float(np.nanmean(mses)) if len(mses) else None,
         median_mel_mse=float(np.nanmedian(mses)) if len(mses) else None,
