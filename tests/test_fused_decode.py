@@ -146,6 +146,29 @@ def test_fused_decode_batch_slicing(setup):
     assert int(sliced["num_steps"]) == int(whole["num_steps"])
 
 
+def test_predict_path_slices_oversized_batches(setup, monkeypatch):
+    """make_predict_fn wiring: a batch above the single-launch budget still
+    runs fused (sliced) and matches the XLA loop."""
+    from self_attention_tacotron_tpu.ops import fused_decode as fd
+
+    hp, model, variables, _ = setup
+    monkeypatch.setattr(fd, "fused_decode_max_batch", lambda *a, **k: 8)
+    B, S = 12, 16
+    rng = np.random.RandomState(5)
+    batch = {
+        "source": jnp.asarray(rng.randint(2, hp.num_symbols, (B, S)), jnp.int32),
+        "source_lengths": jnp.asarray(rng.randint(8, S + 1, (B,)), jnp.int32),
+    }
+    ref = make_predict_fn(model, use_fused=False)(variables, batch, jax.random.PRNGKey(3))
+    got = make_predict_fn(model, use_fused=True)(variables, batch, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(
+        np.asarray(got["mel"]), np.asarray(ref["mel"]), atol=2e-3, rtol=1e-3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got["lengths"]), np.asarray(ref["lengths"])
+    )
+
+
 def test_fused_decode_max_batch():
     from self_attention_tacotron_tpu.ops.fused_decode import fused_decode_max_batch
 
