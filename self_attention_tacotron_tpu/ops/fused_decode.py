@@ -288,6 +288,13 @@ def _make_kernel(cfg: Dict[str, Any]):
         if keep < 1.0:  # prng_seed is TPU-only; dropout off needs no PRNG
             pltpu.prng_seed(seed_ref[0])
 
+        if use_sa:
+            # zero the K/V caches once (~8 MB VMEM writes) so stale rows
+            # past the live prefix are exact zeros — lets the attend loop
+            # drop its per-chunk value mask (see attend_chunk)
+            kcache[:] = jnp.zeros(kcache.shape, io_dtype)
+            vcache[:] = jnp.zeros(vcache.shape, io_dtype)
+
         def dropout(x, width):
             if keep >= 1.0:
                 return x
@@ -515,9 +522,10 @@ def _make_kernel(cfg: Dict[str, Any]):
                         .reshape(CH, N, HD)
                         .astype(jnp.float32)
                     )
-                    # p is exactly 0 past t, but stale cache rows can be
-                    # non-finite and 0 × NaN = NaN — mask the values too
-                    vc = jnp.where(cpos[:, :, None] <= t, vc, 0.0)
+                    # rows past t hold exact zeros (caches are zero-
+                    # initialized at kernel start), so p==0 × vc==0 is
+                    # finite without a value mask — one fewer (CH, N, HD)
+                    # select per chunk per step
                     acc = acc * scale.T + jnp.sum(p[:, :, None] * vc, axis=0)
                     denom = denom * scale + jnp.sum(p, axis=0, keepdims=True)
                     return acc, denom, m_new
