@@ -307,16 +307,25 @@ def run_trained_bench(
 
     n_calls = max(repeats, 3)
     t0 = time.perf_counter()
+    # keep every call's predicted lengths ON DEVICE (no per-call sync) so
+    # realized-frame throughput divides TOTAL realized frames by TOTAL wall
+    # time: prenet dropout is live at inference, so per-call lengths vary
+    # and the final call alone is a biased sample (ADVICE r3)
+    lengths_per_call = []
     for i in range(n_calls):
         out = predict(variables, batch, jax.random.fold_in(key, i))
+        lengths_per_call.append(out["lengths"])
     mel = np.asarray(out["mel"])
     assert np.isfinite(mel).all()
-    wall = (time.perf_counter() - t0) / n_calls
-    out_lengths = np.asarray(out["lengths"])
+    wall_total = time.perf_counter() - t0
+    wall = wall_total / n_calls
+    out_lengths = np.asarray(jnp.stack(lengths_per_call))   # (n_calls, B)
     finished = np.asarray(out["finished"])
-    realized = int(out_lengths.sum())
+    realized_total = int(out_lengths.sum())
+    realized = realized_total / n_calls
 
     device_busy_s = None
+    realized_profiled = realized
     if jax.default_backend() != "cpu":
         import shutil
 
@@ -330,12 +339,15 @@ def run_trained_bench(
 
             rows = load_hlo_stats(find_xplane(profile_dir))
             device_busy_s = sum(r["self_us"] or 0.0 for r in rows) / 1e6
+            # the device ratio divides the PROFILED call's own realized
+            # frames by its own busy time (same call, same lengths)
+            realized_profiled = int(np.asarray(out["lengths"]).sum())
         except (Exception, SystemExit) as e:
             print(f"[bench] xplane capture unavailable ({e!r})", file=sys.stderr)
     return dict(
-        frames_per_sec_realized=realized / wall,
+        frames_per_sec_realized=realized_total / wall_total,
         device_frames_per_sec_realized=(
-            realized / device_busy_s if device_busy_s else None
+            realized_profiled / device_busy_s if device_busy_s else None
         ),
         device_busy_seconds=device_busy_s,
         mean_decode_frames=float(out_lengths.mean()),

@@ -821,12 +821,27 @@ def fused_decode(
     pays one extra kernel dispatch (~50 µs) per ~15 ms block instead.
     Per-block early exit is also tighter than a monolithic loop: each
     block stops at its own longest utterance, not the global maximum.
+    Consequence (documented contract): with early exit active, a block's
+    frame/alignment rows between ITS exit step and the global num_steps
+    are zero-filled where a monolithic launch would hold never-consumed
+    continued-decode values — per-lane lengths/finished/num_steps and all
+    frames up to each lane's predicted length are identical either way
+    (test_fused_decode_batch_slicing_with_early_exit).
     ``slice_batch`` overrides the computed block size (tests/profiling).
     """
     if slice_batch is not None:
         b_max = slice_batch
     else:
         b_max = fused_decode_max_batch(hp, max_iters, cond.memories[0].shape[1])
+        if (
+            b_max
+            and batch > b_max
+            and fused_decode_fits(hp, batch, max_iters, cond.memories[0].shape[1])
+        ):
+            # the power-of-two probe can land below a batch that fits in one
+            # launch (e.g. 96 when fits(96) holds but fits(128) fails) —
+            # prefer the monolithic launch over a padded tail block (ADVICE r3)
+            b_max = batch
     if b_max and batch > b_max:
         parts = []
         for i, start in enumerate(range(0, batch, b_max)):

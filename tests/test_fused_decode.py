@@ -146,6 +146,59 @@ def test_fused_decode_batch_slicing(setup):
     assert int(sliced["num_steps"]) == int(whole["num_steps"])
 
 
+def test_fused_decode_batch_slicing_with_early_exit(setup):
+    """Sliced decode under ACTIVE stop-token early exit (ADVICE r3).
+
+    Each block exits at its own longest lane, so rows between a block's
+    exit step and the global num_steps are zero-filled where a monolithic
+    launch would hold (never-consumed) continued-decode values. The
+    contract checked here: per-lane lengths/finished, the global
+    num_steps (= max over blocks = max over lanes), and every frame up to
+    each lane's own predicted length are identical; beyond a lane's
+    length the content is don't-care by the API (the XLA path zero-fills
+    past ITS global exit step too).
+    """
+    from self_attention_tacotron_tpu.models.models import TacotronNetwork
+    from self_attention_tacotron_tpu.ops.fused_decode import fused_decode
+
+    hp, model, variables, _ = setup
+    net = model.network(is_training=False)
+    B, S = 12, 16
+    rng = np.random.RandomState(7)
+    source = jnp.asarray(rng.randint(2, hp.num_symbols, (B, S)), jnp.int32)
+    lengths = jnp.asarray(rng.randint(8, S + 1, (B,)), jnp.int32)
+    cond, _ = net.apply(
+        variables, source, lengths, None, None,
+        method=TacotronNetwork.encode, rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    hp.stop_token_threshold = 0.4  # untrained logits ≈ 0 → sigmoid ≈ 0.5 fires
+    try:
+        kw = dict(
+            variables=variables, cond=cond, hp=hp, batch=B,
+            max_iters=hp.max_iters, seed=jnp.asarray(0, jnp.int32),
+            interpret=True,
+        )
+        whole = fused_decode(**kw)
+        sliced = fused_decode(**kw, slice_batch=8)
+    finally:
+        hp.stop_token_threshold = 2.0
+    np.testing.assert_array_equal(
+        np.asarray(sliced["lengths"]), np.asarray(whole["lengths"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sliced["finished"]), np.asarray(whole["finished"])
+    )
+    assert bool(np.asarray(whole["finished"]).all())
+    assert int(whole["num_steps"]) < hp.max_iters  # early exit really fired
+    assert int(sliced["num_steps"]) == int(whole["num_steps"])
+    mel_s = np.asarray(sliced["frames"]["mel"])
+    mel_w = np.asarray(whole["frames"]["mel"])
+    for lane, ln in enumerate(np.asarray(whole["lengths"])):
+        np.testing.assert_allclose(
+            mel_s[lane, :ln], mel_w[lane, :ln], atol=1e-5, rtol=1e-5
+        )
+
+
 def test_predict_path_slices_oversized_batches(setup, monkeypatch):
     """make_predict_fn wiring: a batch above the single-launch budget still
     runs fused (sliced) and matches the XLA loop."""
