@@ -228,6 +228,21 @@ def main() -> int:
                 _case_hparams(compute_dtype="bfloat16"),
                 batch=args.batch, frames=args.frames,
             ),
+            # round-4: location-sensitive attention trains fused too
+            run_train_case(
+                "teacher_kernel_ls_f32",
+                _case_hparams(
+                    attention="location_sensitive", compute_dtype="float32"
+                ),
+                batch=args.batch, frames=args.frames,
+            ),
+            run_train_case(
+                "teacher_kernel_ls_bf16",
+                _case_hparams(
+                    attention="location_sensitive", compute_dtype="bfloat16"
+                ),
+                batch=args.batch, frames=args.frames,
+            ),
         ]
         all_ok = all(r["ok"] for r in results)
         print(json.dumps({"backend": backend, "ok": all_ok, "cases": results}))

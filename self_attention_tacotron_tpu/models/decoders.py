@@ -310,13 +310,15 @@ class Decoder(nn.Module):
         """Training-mode Pallas fast path for the scanned region.
 
         Gated to the AR kernel's configuration family (forward attention
-        ± TA on source 1, additive on source 2, 2-layer prenet, 2
-        decoder LSTMs). Eval stays on the XLA scan: the kernel implements
-        train-mode binary zoneout, not the eval interpolation.
+        ± TA or location-sensitive attention on source 1, additive on
+        source 2, 2-layer prenet, 2 decoder LSTMs). Eval stays on the XLA
+        scan: the kernel implements train-mode binary zoneout, not the
+        eval interpolation.
         """
         from self_attention_tacotron_tpu.models.attention import (
             AdditiveAttention,
             ForwardAttention,
+            LocationSensitiveAttention,
         )
         from self_attention_tacotron_tpu.ops import fused_teacher
 
@@ -329,7 +331,12 @@ class Decoder(nn.Module):
         mechs = self.attention_mechs
         if len(mechs) not in (1, 2):
             return False
-        if not isinstance(mechs[0], ForwardAttention):
+        if isinstance(mechs[0], LocationSensitiveAttention):
+            # the in-kernel SAME conv assumes an odd, centered tap window
+            # (same gate as supports_fused_decode on the AR path)
+            if mechs[0].attention_kernel % 2 == 0:
+                return False
+        elif not isinstance(mechs[0], ForwardAttention):
             return False
         if len(mechs) == 2 and not isinstance(mechs[1], AdditiveAttention):
             return False
@@ -346,15 +353,17 @@ class Decoder(nn.Module):
         )
 
     def _fused_teacher_fits(self, cond: DecoderConditioning, feeds) -> bool:
-        """VMEM-budget gate: large batch × steps falls back to the XLA scan
-        (same role as fused_decode_fits on the inference path)."""
+        """VMEM-budget gate. Batches beyond the single-launch budget still
+        run fused — teacher_decode slices them into sequential batch
+        blocks whose gradients accumulate via autodiff — so the only
+        fallback to the XLA scan is when even an 8-lane block cannot fit
+        (num_steps so large the (N, B, ·) buffers alone overflow)."""
         from self_attention_tacotron_tpu.ops import fused_teacher
 
         dual = len(self.attention_mechs) == 2
         mem_dims = sum(int(m.shape[-1]) for m in cond.memories)
         key_dim = sum(int(k.shape[-1]) for k in cond.keys)
-        return fused_teacher.fused_teacher_fits(
-            batch=int(feeds.shape[0]),
+        return fused_teacher.fused_teacher_max_batch(
             num_steps=int(feeds.shape[1]),
             src_len=int(cond.memories[0].shape[1]),
             feed_dim=int(feeds.shape[2]),
@@ -363,7 +372,8 @@ class Decoder(nn.Module):
             key_dim=key_dim,
             io_bytes=2 if self.dtype == jnp.bfloat16 else 4,
             dual=dual,
-        )
+            ls_taps=getattr(self.attention_mechs[0], "attention_kernel", 0),
+        ) > 0
 
     def _fused_teacher_call(self, cond: DecoderConditioning, feeds):
         from self_attention_tacotron_tpu.ops import fused_teacher
@@ -409,6 +419,23 @@ class Decoder(nn.Module):
             w_l2=p["decoder_lstm_1"]["gates"]["kernel"],
             b_l2=p["decoder_lstm_1"]["gates"]["bias"],
         )
+        from self_attention_tacotron_tpu.models.attention import (
+            LocationSensitiveAttention,
+        )
+
+        is_ls = isinstance(mechs[0], LocationSensitiveAttention)
+        if is_ls:
+            # fold conv → location_layer into ONE (LSK, A1) matrix + bias
+            # vector OUTSIDE the custom_vjp so autodiff distributes the
+            # kernel's d_W / d_bias onto the real params (fused_teacher
+            # _make_ls_fns docstring)
+            conv_k = jnp.asarray(m0["location_conv"]["kernel"], jnp.float32)
+            loc_l = jnp.asarray(m0["location_layer"]["kernel"], jnp.float32)
+            weights["w_lsW"] = conv_k[:, 0, :] @ loc_l
+            weights["ls_bias"] = (
+                jnp.asarray(m0["location_conv"]["bias"], jnp.float32) @ loc_l
+                + jnp.asarray(m0["attention_b"], jnp.float32)
+            )
         mask = cond.masks[0]
         score_bias = (
             jnp.where(mask, 0.0, -1e9).astype(jnp.float32)
@@ -447,6 +474,9 @@ class Decoder(nn.Module):
             io_dtype=(
                 "bfloat16" if self.dtype == jnp.bfloat16 else "float32"
             ),
+            src1_kind="location_sensitive" if is_ls else "forward",
+            ls_cumulative=bool(getattr(mechs[0], "cumulative_weights", True)),
+            ls_kernel=int(getattr(mechs[0], "attention_kernel", 31)),
         )
         features, aligns = fused_teacher.teacher_decode(
             weights=weights, keys=keys, mem1=cond.memories[0], mem2=mem2,

@@ -59,6 +59,31 @@ def _ceil128(x: int) -> int:
     return ((x + 127) // 128) * 128
 
 
+def _is_ls(cfg) -> bool:
+    return cfg.get("src1_kind", "forward") == "location_sensitive"
+
+
+def _ls_carries_cum(cfg) -> bool:
+    return _is_ls(cfg) and cfg.get("ls_cumulative", True)
+
+
+def _ls_kpad(cfg) -> int:
+    """TAP width: location-conv taps padded to the f32 sublane tile."""
+    return ((cfg.get("ls_kernel", 31) + 7) // 8) * 8
+
+
+def _init_alpha(cfg):
+    """Initial source-1 alignment: one-hot at 0 for the forward-attention
+    recursion, uniform for the additive family (location-sensitive) —
+    models/attention.py initial_attention_state semantics."""
+    B, S = cfg["batch"], cfg["src_len"]
+    if _is_ls(cfg):
+        return jnp.full((B, S), 1.0 / S, jnp.float32)
+    return (
+        jax.lax.broadcasted_iota(jnp.int32, (B, S), 1) == 0
+    ).astype(jnp.float32)
+
+
 def _carry_layout(cfg):
     """Packed carry row layout: name → (offset, width)."""
     AU, DU = cfg["att_units"], cfg["dec_units"]
@@ -73,6 +98,8 @@ def _carry_layout(cfg):
     if cfg["dual"]:
         fields.append(("ctx2", E2))
     fields.append(("alpha", S))
+    if _ls_carries_cum(cfg):
+        fields.append(("cum", S))
     fields.append(("u", 1))
     layout = {}
     off = 0
@@ -122,6 +149,7 @@ def _acts_layout(cfg):
 def fused_teacher_fits(
     *, batch: int, num_steps: int, src_len: int, feed_dim: int,
     dec_units: int, mem_dims: int, key_dim: int, io_bytes: int, dual: bool,
+    ls_taps: int = 0,
 ) -> bool:
     """VMEM-budget check for the training fast path (ADVICE r2, medium).
 
@@ -141,8 +169,23 @@ def fused_teacher_fits(
     cond = batch * src_len * ((key_dim + mem_dims) * io_bytes + key_dim * 8)
     # carry/acts/stack DMA rings + canonicalization scratches (~80 KB/lane)
     rings = batch * 80 * 1024
+    # location-sensitive: the (B, S, K_pad) TAP scratch + wider carry rows
+    # (the cumulative-alignment field streams with the carries)
+    ls = (
+        batch * src_len * (((ls_taps + 7) // 8) * 8 + 2) * 4 if ls_taps else 0
+    )
     margin = 6 * 1024 * 1024  # weights + transposed weights + small refs
-    return nb + cond + rings + margin < budget
+    return nb + cond + rings + ls + margin < budget
+
+
+def fused_teacher_max_batch(**fits_kw) -> int:
+    """Largest per-launch batch (multiple of 8) within the VMEM budget,
+    or 0 when even an 8-lane block cannot fit (e.g. num_steps so large
+    the (N, B, ·) buffers alone overflow)."""
+    b = 512
+    while b >= 8 and not fused_teacher_fits(batch=b, **fits_kw):
+        b //= 2
+    return b if b >= 8 else 0
 
 
 # --------------------------------------------------------------------------- #
@@ -213,6 +256,55 @@ def _make_mask_fns(cfg):
     return seed_step, prenet_mask, zoneout_masks
 
 
+def _make_ls_fns(cfg, refs):
+    """Location-sensitive attention features as ONE MXU matmul.
+
+    The reference computes ``loc = Dense(Conv1d(prev_alignment))`` (a
+    31-tap SAME conv to 32 channels, then a dense to score units —
+    models/attention.py LocationSensitiveAttention). Both maps are linear,
+    so the kernel folds them into a single (LSK, A1) matrix
+    ``W = conv_kernel · location_layer`` (computed OUTSIDE the custom_vjp
+    in the wrapper, so autodiff distributes d_W back to the real conv /
+    dense params) and evaluates ``loc = TAP @ W + bias_vec`` where TAP is
+    the (B·S, K_pad) matrix of shifted alignments. Building TAP costs LSK
+    static rolls + 1-lane stores into a VMEM scratch (~0.1 µs); the matmul
+    rides the MXU — vs ~28 M VPU MACs/step for the broadcast-MAC form the
+    AR kernel used in r3 (fused_decode.py ls_features).
+    """
+    B, S = cfg["batch"], cfg["src_len"]
+    LSK = cfg["ls_kernel"]
+    KP = _ls_kpad(cfg)
+    A1 = cfg["att1_units"]
+    io_dtype = jnp.bfloat16 if cfg["io_dtype"] == "bfloat16" else jnp.float32
+    tap_ref = refs["ls_tap"]
+
+    def zero_tap():
+        # padding lanes LSK..KP must be exact zeros once per launch: VMEM
+        # scratch garbage can be NaN, and NaN·0 from the zero-padded W
+        # rows would still poison the matmul
+        tap_ref[:] = jnp.zeros(tap_ref.shape, jnp.float32)
+
+    def build_tap(prev):
+        """TAP[:, s, k] = prev[:, s + k − LSK//2], zero outside [0, S)."""
+        col = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+        half = LSK // 2
+        for k in range(LSK):
+            d = k - half
+            tap = pltpu.roll(prev, (-d) % S, axis=1) if d % S else prev
+            tap = jnp.where((col + d >= 0) & (col + d < S), tap, 0.0)
+            tap_ref[:, :, k] = tap
+
+    def loc_from_tap():
+        TAP = tap_ref[:].reshape(B * S, KP)
+        out = jnp.dot(
+            TAP.astype(io_dtype), refs["w_lsW"][:],
+            preferred_element_type=jnp.float32,
+        ).reshape(B, S, A1)
+        return out + refs["ls_bias"][:].astype(jnp.float32)
+
+    return zero_tap, build_tap, loc_from_tap
+
+
 def _make_step_fns(cfg, refs):
     """Build the per-step forward-compute closure over the weight refs.
 
@@ -233,6 +325,8 @@ def _make_step_fns(cfg, refs):
     a_tot = A1 + (cfg["att2_units"] if dual else 0)
 
     seed_step, prenet_mask, zoneout_masks = _make_mask_fns(cfg)
+    if _is_ls(cfg):
+        _, build_tap, loc_from_tap = _make_ls_fns(cfg, refs)
 
     def dropout_fwd(x, width):
         m = prenet_mask(width)
@@ -289,7 +383,14 @@ def _make_step_fns(cfg, refs):
             query.astype(io_dtype), refs["w_qp"][:],
             preferred_element_type=jnp.float32,
         )
-        tq = jnp.tanh(refs["keys"][:].astype(jnp.float32) + qp[:, None, :])
+        pre = refs["keys"][:].astype(jnp.float32) + qp[:, None, :]
+        if _is_ls(cfg):
+            build_tap(cin["cum"] if cfg["ls_cumulative"] else cin["alpha"])
+            loc = loc_from_tap()
+            if dual:
+                loc = jnp.pad(loc, ((0, 0), (0, 0), (0, a_tot - A1)))
+            pre = pre + loc
+        tq = jnp.tanh(pre)
         # ONE thin matmul for both sources' scores (lane reductions against
         # padded score vectors measured SLOWER in the forward direction —
         # 15.4 vs 13.6 µs/step: two broadcast-reduce passes re-read tq)
@@ -299,17 +400,24 @@ def _make_step_fns(cfg, refs):
         )
         e1 = e2d[:, 0:1].reshape(B, S) + refs["score_bias"][:]
         y1 = jax.nn.softmax(e1, axis=-1)
-        shifted = pltpu.roll(cin["alpha"], 1, axis=1)
-        col = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
-        shifted = jnp.where(col == 0, 0.0, shifted)
-        w_rec = (1.0 - cin["u"]) * cin["alpha"] + cin["u"] * shifted + _EPS
-        alpha_hat = w_rec * y1
-        s_hat = jnp.sum(alpha_hat, axis=-1, keepdims=True)
-        alpha1 = alpha_hat / s_hat
+        if _is_ls(cfg):
+            # location-sensitive source 1: plain softmax alignments; the
+            # recursion state is the (cumulative) alignment the conv reads
+            alpha1 = y1
+            if cfg["ls_cumulative"]:
+                it["cum_new"] = cin["cum"] + alpha1
+        else:
+            shifted = pltpu.roll(cin["alpha"], 1, axis=1)
+            col = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+            shifted = jnp.where(col == 0, 0.0, shifted)
+            w_rec = (1.0 - cin["u"]) * cin["alpha"] + cin["u"] * shifted + _EPS
+            alpha_hat = w_rec * y1
+            s_hat = jnp.sum(alpha_hat, axis=-1, keepdims=True)
+            alpha1 = alpha_hat / s_hat
+            it.update(shifted=shifted, w_rec=w_rec, s_hat=s_hat)
         ctx1 = jnp.sum(alpha1[:, :, None] * refs["mem1"][:].astype(jnp.float32), axis=1)
         it.update(
-            qp=qp, tq=tq, y1=y1, shifted=shifted, w_rec=w_rec,
-            s_hat=s_hat, alpha1=alpha1, ctx1=ctx1, query=query,
+            qp=qp, tq=tq, y1=y1, alpha1=alpha1, ctx1=ctx1, query=query,
         )
 
         if use_ta:
@@ -361,6 +469,9 @@ _FWD_REF_NAMES = (
     # acts-derived layouts); the forward keeps the single thin matmul,
     # which measured FASTER than lane reductions (13.6 vs 15.4 µs/step)
     "vcol1", "vcol2",
+    # location-sensitive attention: folded conv·dense matrix (K_pad, A1)
+    # and its bias vector (A1,) — zeros when src1_kind == "forward"
+    "w_lsW", "ls_bias",
 )
 
 
@@ -376,11 +487,18 @@ def _make_fwd_kernel(cfg):
         cfg["zoneout_cell"] > 0.0 or cfg["zoneout_output"] > 0.0
     )
 
+    ls = _is_ls(cfg)
+    ls_cum = _ls_carries_cum(cfg)
+
     def kernel(seed_ref, *args):
         refs = dict(zip(_FWD_REF_NAMES, args[: len(_FWD_REF_NAMES)]))
         rest = args[len(_FWD_REF_NAMES):]
         feat_out, align_out, carry_hbm, acts_hbm = rest[0], rest[1], rest[2], rest[3]
         carry_row, carry_sem, acts_row, acts_sem = rest[4], rest[5], rest[6], rest[7]
+        if ls:
+            refs["ls_tap"] = rest[8]
+            zero_tap, _, _ = _make_ls_fns(cfg, refs)
+            zero_tap()
         recompute, seed_step = _make_step_fns(cfg, refs)
         width_total = max(off + w for off, w in layout.values())
         a_width = max(off + w for off, w in alayout.values())
@@ -402,11 +520,13 @@ def _make_fwd_kernel(cfg):
             row = jnp.concatenate([vals[name] for name in alayout], axis=-1)
             acts_row[slot] = jnp.pad(row, ((0, 0), (0, a_pad - a_width)))
 
+        carry_names = (
+            "c_att", "h_att", "c1", "h1", "c2", "h2", "ctx1", "ctx2",
+            "alpha", "u",
+        ) + (("cum",) if ls_cum else ())
+
         def step(t, carry):
-            cin = dict(zip(
-                ("c_att", "h_att", "c1", "h1", "c2", "h2", "ctx1", "ctx2",
-                 "alpha", "u"), carry,
-            ))
+            cin = dict(zip(carry_names, carry))
             if stochastic:
                 seed_step(seed_ref[0] + t)
             feed = refs["feeds"][t]
@@ -429,6 +549,8 @@ def _make_fwd_kernel(cfg):
             )
             if dual:
                 cout["ctx2"] = it["ctx2"]
+            if ls_cum:
+                cout["cum"] = it["cum_new"]
 
             # 2-slot rings: wait for the copies issued 2 steps ago, refill
             slot = jax.lax.rem(t, 2)
@@ -459,22 +581,18 @@ def _make_fwd_kernel(cfg):
                 acts_sem.at[slot],
             ).start()
 
-            return (
-                cout["c_att"], cout["h_att"], cout["c1"], cout["h1"],
-                cout["c2"], cout["h2"], cout["ctx1"],
-                cout.get("ctx2", carry[7]), cout["alpha"], cout["u"],
+            return tuple(
+                cout.get(name, carry[i]) for i, name in enumerate(carry_names)
             )
 
         z = lambda *shape: jnp.zeros(shape, jnp.float32)
-        init_alpha = (
-            jax.lax.broadcasted_iota(jnp.int32, (B, S), 1) == 0
-        ).astype(jnp.float32)
+        init_alpha = _init_alpha(cfg)
         e2w = cfg["mem2_dim"] if dual else 1
         init = (
             z(B, AU), z(B, AU), z(B, DU), z(B, DU), z(B, DU), z(B, DU),
             z(B, cfg["mem1_dim"]), z(B, e2w),
             init_alpha, jnp.full((B, 1), 0.5, jnp.float32),
-        )
+        ) + ((z(B, S),) if ls_cum else ())
         jax.lax.fori_loop(0, N, step, init)
 
         # drain the rings (N is static)
@@ -500,9 +618,10 @@ def _make_fwd_kernel(cfg):
 _BWD_EXTRA_REF_NAMES = (
     # transposed weights for input-gradient matmuls (precomputed host-side)
     "w_p1T", "w_p2T", "w_attgT", "w_qpT", "w_taT", "w_l1T", "w_l2T",
+    "w_lsWT",
 )
 
-_GRAD_NAMES = ("d_keys", "d_vblk", "d_spk")
+_GRAD_NAMES = ("d_keys", "d_vblk", "d_spk", "d_lsW", "d_lsbias")
 
 
 def _stack_layout(cfg):
@@ -578,6 +697,16 @@ def _make_bwd_kernel(cfg):
         (carry_buf, carry_sem, acts_buf, acts_sem,
          canon_y1, canon_a2, canon_qp, canon_tq, canon_red,
          stack_row, stack_sem) = args[pos : pos + 11]
+        pos += 11
+        ls = _is_ls(cfg)
+        ls_cum = _ls_carries_cum(cfg)
+        KP = _ls_kpad(cfg)
+        ls_g = None
+        if ls:
+            refs["ls_tap"] = args[pos]
+            ls_g = args[pos + 1]
+            zero_tap, build_tap, loc_from_tap = _make_ls_fns(cfg, refs)
+            zero_tap()
 
         seed_step, prenet_mask, zoneout_masks = _make_mask_fns(cfg)
 
@@ -692,9 +821,7 @@ def _make_bwd_kernel(cfg):
                 off, width = alayout[name]
                 return acts_row_v[:, off : off + width]
 
-            init_alpha = (
-                jax.lax.broadcasted_iota(jnp.int32, (B, S), 1) == 0
-            ).astype(jnp.float32)
+            init_alpha = _init_alpha(cfg)
             zsel = lambda v: jnp.where(t_is0, jnp.zeros_like(v), v)
             cin = dict(
                 c_att=zsel(unpack("c_att")), h_att=zsel(unpack("h_att")),
@@ -706,6 +833,8 @@ def _make_bwd_kernel(cfg):
             )
             if dual:
                 cin["ctx2"] = zsel(unpack("ctx2"))
+            if ls_cum:
+                cin["cum"] = zsel(unpack("cum"))
 
             # masks regenerate in the forward's exact draw order
             if stochastic:
@@ -740,19 +869,29 @@ def _make_bwd_kernel(cfg):
             it["x1"] = x1_relu * m1 * (1.0 / keep) if m1 is not None else x1_relu
             x2_relu = jnp.maximum(it["x2_pre"], 0.0)
             it["x2"] = x2_relu * m2 * (1.0 / keep) if m2 is not None else x2_relu
-            shifted = pltpu.roll(cin["alpha"], 1, axis=1)
-            colS = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
-            shifted = jnp.where(colS == 0, 0.0, shifted)
-            w_rec = (1.0 - cin["u"]) * cin["alpha"] + cin["u"] * shifted + _EPS
-            it.update(
-                shifted=shifted, w_rec=w_rec,
-                s_hat=jnp.sum(w_rec * it["y1"], axis=-1, keepdims=True),
-            )
+            if not ls:
+                shifted = pltpu.roll(cin["alpha"], 1, axis=1)
+                colS = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+                shifted = jnp.where(colS == 0, 0.0, shifted)
+                w_rec = (1.0 - cin["u"]) * cin["alpha"] + cin["u"] * shifted + _EPS
+                it.update(
+                    shifted=shifted, w_rec=w_rec,
+                    s_hat=jnp.sum(w_rec * it["y1"], axis=-1, keepdims=True),
+                )
             # the one recomputed tensor: the (B, S, A) score tanh, stored
             # to scratch so downstream broadcasts see a canonical layout
-            canon_tq[:] = jnp.tanh(
+            score_pre = (
                 refs["keys"][:].astype(jnp.float32) + canon_qp[:][:, None, :]
             )
+            if ls:
+                # TAP stays resident in the ls_tap scratch through the
+                # scores backward (g_W accumulation reads it)
+                build_tap(cin["cum"] if cfg["ls_cumulative"] else cin["alpha"])
+                loc = loc_from_tap()
+                if dual:
+                    loc = jnp.pad(loc, ((0, 0), (0, 0), (0, a_tot - A1)))
+                score_pre = score_pre + loc
+            canon_tq[:] = jnp.tanh(score_pre)
             if dual:
                 it["alpha2"] = canon_a2[:]
 
@@ -807,28 +946,36 @@ def _make_bwd_kernel(cfg):
             else:
                 g_e2 = None
 
-            # ---- context 1 + forward-attention recursion ----
+            # ---- context 1 + source-1 recursion adjoint ----
             mem1f = refs["mem1"][:].astype(jnp.float32)
             g_alpha1_tot = g_alpha1_tot + jnp.sum(
                 g_ctx1[:, None, :] * mem1f, axis=-1
             )
-            g_ahat = (
-                g_alpha1_tot
-                - jnp.sum(g_alpha1_tot * it["alpha1"], axis=-1, keepdims=True)
-            ) / it["s_hat"]
-            g_y1 = g_ahat * it["w_rec"]
-            g_w = g_ahat * it["y1"]
-            g_u_rec = jnp.sum(
-                g_w * (it["shifted"] - cin["alpha"]), axis=-1, keepdims=True
-            )
-            g_u_prev = g_u_pass + g_u_rec
-            gwu = g_w * cin["u"]
-            col = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
-            # adjoint of the zero-filled right-shift: left-shift with zero
-            # at the last column (roll by S-1 == roll by -1)
-            unshift = jnp.where(col == S - 1, 0.0, pltpu.roll(gwu, S - 1, axis=1))
-            g_alpha_prev = g_w * (1.0 - cin["u"]) + unshift
-            g_e1 = softmax_bwd(it["y1"], g_y1)
+            if ls:
+                # location-sensitive: α₁ = y₁ directly; the recursion into
+                # the previous (cumulative) alignment flows through the
+                # conv taps and is resolved after the scores backward
+                g_u_prev = g_u_pass
+                g_alpha_prev = None  # set below (needs g_pre)
+                g_e1 = softmax_bwd(it["y1"], g_alpha1_tot)
+            else:
+                g_ahat = (
+                    g_alpha1_tot
+                    - jnp.sum(g_alpha1_tot * it["alpha1"], axis=-1, keepdims=True)
+                ) / it["s_hat"]
+                g_y1 = g_ahat * it["w_rec"]
+                g_w = g_ahat * it["y1"]
+                g_u_rec = jnp.sum(
+                    g_w * (it["shifted"] - cin["alpha"]), axis=-1, keepdims=True
+                )
+                g_u_prev = g_u_pass + g_u_rec
+                gwu = g_w * cin["u"]
+                col = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+                # adjoint of the zero-filled right-shift: left-shift with zero
+                # at the last column (roll by S-1 == roll by -1)
+                unshift = jnp.where(col == S - 1, 0.0, pltpu.roll(gwu, S - 1, axis=1))
+                g_alpha_prev = g_w * (1.0 - cin["u"]) + unshift
+                g_e1 = softmax_bwd(it["y1"], g_y1)
 
             # ---- fused scores backward ----
             # outer-product broadcasts instead of the round-2 (B·S, n_src)
@@ -866,6 +1013,52 @@ def _make_bwd_kernel(cfg):
                 g_qp.astype(io_dtype), refs["w_qpT"][:],
                 preferred_element_type=jnp.float32,
             )
+
+            if ls:
+                # ---- location-feature backward ----
+                # keys, qp and loc all receive the same g_pre; canonicalize
+                # the A1 slice through a scratch before the 2D reshape
+                ls_g[:] = g_pre[:, :, :A1] if dual else g_pre
+                g_loc2d = ls_g[:].reshape(B * S, A1)
+                TAP2d = refs["ls_tap"][:].reshape(B * S, KP)
+                # g_W accumulates over all N·B·S tap rows: transposed
+                # contraction rides the MXU (probe-verified lowering)
+                grads["d_lsW"][:] = grads["d_lsW"][:] + jax.lax.dot_general(
+                    TAP2d.astype(io_dtype), g_loc2d.astype(io_dtype),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                # bias_vec is added once per (b, s): its gradient is the
+                # B-sum of the already-staged Σ_s g_pre (= g_qp); the A2
+                # tail is sliced off by the wrapper
+                grads["d_lsbias"][:] = grads["d_lsbias"][:] + jnp.sum(
+                    canon_qp[:], axis=0, keepdims=True
+                )
+                g_tap2d = jnp.dot(
+                    g_loc2d.astype(io_dtype), refs["w_lsWT"][:],
+                    preferred_element_type=jnp.float32,
+                )
+                # TAP is dead now — reuse its scratch to canonicalize g_TAP
+                refs["ls_tap"][:] = g_tap2d.reshape(B, S, KP)
+                colS2 = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+                g_prev_al = jnp.zeros((B, S), jnp.float32)
+                half = cfg["ls_kernel"] // 2
+                for k in range(cfg["ls_kernel"]):
+                    d = k - half
+                    gk = refs["ls_tap"][:, :, k]
+                    # adjoint of tap_k (prev shifted by d, zero-masked):
+                    # g_prev[s'] += g_tap_k[s' − d], zero where s' − d
+                    # leaves [0, S)
+                    rolled = pltpu.roll(gk, d % S, axis=1) if d % S else gk
+                    g_prev_al = g_prev_al + jnp.where(
+                        (colS2 - d >= 0) & (colS2 - d < S), rolled, 0.0
+                    )
+                if ls_cum:
+                    # carry slot holds g_cum: cum_{t−1} takes the identity
+                    # path (cum_t = cum_{t−1} + α_t) plus the conv path
+                    g_alpha_prev = g_alpha_c + g_prev_al
+                else:
+                    g_alpha_prev = g_prev_al
 
             # ---- attention LSTM ----
             g_h_att_out = g_h_att + g_query
@@ -980,7 +1173,10 @@ def _run_fwd(operands: Tuple, cfg_key: Tuple):
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((2, B, a_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + (
+            [pltpu.VMEM((cfg["batch"], cfg["src_len"], _ls_kpad(cfg)), jnp.float32)]
+            if _is_ls(cfg) else []
+        ),
     )
     return pl.pallas_call(
         kernel,
@@ -1010,10 +1206,15 @@ def _run_bwd(operands: Tuple, cfg_key: Tuple):
     n_src = 2 if dual else 1
     _, k_pad = _stack_layout(cfg)
 
+    ls = _is_ls(cfg)
+    KP = _ls_kpad(cfg)
     out_shapes = (
         jax.ShapeDtypeStruct((B, S, a_tot), jnp.float32),   # d_keys
         jax.ShapeDtypeStruct((n_src, a_tot), jnp.float32),  # d_vblk (rows)
         jax.ShapeDtypeStruct((B, max(SPK, 1)), jnp.float32),  # d_spk
+        # d_lsW / d_lsbias (location-sensitive; minimal dummies when off)
+        jax.ShapeDtypeStruct((KP if ls else 8, A1 if ls else 128), jnp.float32),
+        jax.ShapeDtypeStruct((1, a_tot if ls else 128), jnp.float32),
         jax.ShapeDtypeStruct((N, B, k_pad), jnp.float32),   # gradient stacks
     )
     _, a_pad = _acts_layout(cfg)
@@ -1029,6 +1230,8 @@ def _run_bwd(operands: Tuple, cfg_key: Tuple):
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # d_lsW
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # d_lsbias
             pl.BlockSpec(memory_space=pl.ANY),      # stacks (HBM)
         ),
         scratch_shapes=[
@@ -1043,7 +1246,13 @@ def _run_bwd(operands: Tuple, cfg_key: Tuple):
             pltpu.VMEM((B, a_tot), jnp.float32),     # staged reductions
             pltpu.VMEM((2, B, k_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + (
+            [
+                pltpu.VMEM((B, S, KP), jnp.float32),   # TAP / g_TAP
+                pltpu.VMEM((B, S, A1), jnp.float32),   # canonical g_loc
+            ]
+            if ls else []
+        ),
     )
     return pl.pallas_call(
         kernel,
@@ -1075,6 +1284,12 @@ def _teacher_decode(cfg_key, weights, conds, feeds, seed):
     return out
 
 
+def _ls_w_padded(cfg, weights):
+    """(LSK, A1) folded location matrix → (K_pad, A1) zero-padded rows."""
+    w = jnp.asarray(weights["w_lsW"], jnp.float32)
+    return jnp.pad(w, ((0, _ls_kpad(cfg) - w.shape[0]), (0, 0)))
+
+
 def _common_operands(cfg, weights, conds, feeds, seed):
     io = (
         (lambda x: jnp.asarray(x, jnp.bfloat16))
@@ -1093,6 +1308,12 @@ def _common_operands(cfg, weights, conds, feeds, seed):
         if vblk_f.shape[1] > 1
         else jnp.zeros_like(vcol1)
     )
+    if _is_ls(cfg):
+        w_lsW = io(_ls_w_padded(cfg, weights))
+        ls_bias = jnp.asarray(weights["ls_bias"], jnp.float32)
+    else:
+        w_lsW = jnp.zeros((8, 8), jnp.float32)
+        ls_bias = jnp.zeros((cfg["att1_units"],), jnp.float32)
     return (
         jnp.asarray(seed, jnp.int32).reshape(1),
         io(jnp.transpose(feeds, (1, 0, 2))),                  # (N, B, F)
@@ -1101,7 +1322,7 @@ def _common_operands(cfg, weights, conds, feeds, seed):
         io(conds["keys"]),
         io(conds["mem1"]),
         io(mem2) if mem2 is not None else jnp.zeros((8, 8, 128), jnp.bfloat16),
-    ) + _weights_to_operands(weights, io) + (vcol1, vcol2)
+    ) + _weights_to_operands(weights, io) + (vcol1, vcol2, w_lsW, ls_bias)
 
 
 def _teacher_decode_fwd(cfg_key, weights, conds, feeds, seed):
@@ -1134,10 +1355,15 @@ def _teacher_decode_bwd(cfg_key, residuals, cotangents):
         else (lambda x: jnp.asarray(x, jnp.float32))
     )
     tr = lambda x: io(jnp.transpose(x))
+    w_lsWT = (
+        tr(_ls_w_padded(cfg, weights))
+        if _is_ls(cfg) else jnp.zeros((8, 8), jnp.float32)
+    )
     operands = _common_operands(cfg, weights, conds, feeds, seed) + (
         tr(weights["w_p1"]), tr(weights["w_p2"]), tr(weights["w_attg"]),
         tr(weights["w_qp"]), tr(weights["w_ta"]),
         tr(weights["w_l1"]), tr(weights["w_l2"]),
+        w_lsWT,
         jnp.asarray(g_feat, jnp.float32),
         g_align,
         carries,
@@ -1226,6 +1452,15 @@ def _teacher_decode_bwd(cfg_key, residuals, cotangents):
     else:
         g_weights["w_ta"] = jnp.zeros_like(jnp.asarray(weights["w_ta"], f32))
         g_weights["b_ta"] = jnp.zeros_like(jnp.asarray(weights["b_ta"], f32))
+    if _is_ls(cfg):
+        # unpad the K_pad rows / a_tot lanes of the in-kernel accumulators;
+        # autodiff outside the custom_vjp distributes these onto the real
+        # conv / location-layer / attention-bias params
+        g_weights["w_lsW"] = g["d_lsW"][: cfg["ls_kernel"]]
+        g_weights["ls_bias"] = g["d_lsbias"][0, : cfg["att1_units"]]
+    else:
+        g_weights["w_lsW"] = jnp.zeros_like(jnp.asarray(weights["w_lsW"], f32))
+        g_weights["ls_bias"] = jnp.zeros_like(jnp.asarray(weights["ls_bias"], f32))
 
     # d_mem from alignment × exported context-gradient stacks
     alpha1_s = aligns[..., :S]
@@ -1278,13 +1513,67 @@ def teacher_decode(
     seed,                         # () int32
     hp_like: Dict,                # dims/flags: see cfg construction
     interpret: bool = False,
+    slice_batch=None,             # test/profiling override of the block size
 ):
     """Differentiable fused teacher-forced decode.
 
     Returns (features (B, N, DU) f32, alignments (B, N, n_src·S) f32).
+
+    Batches beyond the single-launch VMEM budget run as SEQUENTIAL batch
+    blocks (mirroring fused_decode's inference-side slicing, VERDICT r3
+    missing #3): the slicing happens OUTSIDE the custom_vjp, so under
+    ``jax.grad`` the weight gradients of the blocks sum automatically
+    (gradient accumulation) and the per-utterance conditioning gradients
+    (d_keys, d_mem, d_spk) concatenate — no bespoke accumulation code. A
+    ragged tail block is zero-padded to 8 lanes; padded lanes receive zero
+    cotangents (their outputs are sliced off before the loss), and every
+    adjoint in the backward kernel is linear in the incoming cotangent, so
+    they contribute exactly zero gradient.
     """
     B, N, F = feeds.shape
     S = keys.shape[1]
+    fits_kw = dict(
+        num_steps=N, src_len=S, feed_dim=F,
+        dec_units=hp_like["dec_units"],
+        mem_dims=int(mem1.shape[-1])
+        + (int(mem2.shape[-1]) if mem2 is not None else 0),
+        key_dim=int(keys.shape[-1]),
+        io_bytes=2 if hp_like["io_dtype"] == "bfloat16" else 4,
+        dual=hp_like["dual"],
+        ls_taps=(
+            int(hp_like.get("ls_kernel", 31))
+            if hp_like.get("src1_kind") == "location_sensitive" else 0
+        ),
+    )
+    b_max = slice_batch
+    if b_max is None and not (interpret or FORCE_INTERPRET):
+        if not fused_teacher_fits(batch=B, **fits_kw):
+            b_max = fused_teacher_max_batch(**fits_kw)
+            assert b_max, "even an 8-lane teacher block exceeds VMEM"
+    if b_max and B > b_max:
+        pad8 = lambda n: ((n + 7) // 8) * 8
+        feats, aligns = [], []
+        for i, start in enumerate(range(0, B, b_max)):
+            end = min(start + b_max, B)
+            bp = pad8(end - start)
+            blk = lambda x: (
+                None if x is None
+                else jnp.pad(
+                    x[start:end],
+                    ((0, bp - (end - start)),) + ((0, 0),) * (x.ndim - 1),
+                )
+            )
+            f, a = teacher_decode(
+                weights=weights, keys=blk(keys), mem1=blk(mem1),
+                mem2=blk(mem2), score_bias=blk(score_bias), spk=blk(spk),
+                feeds=blk(feeds),
+                # distinct per-block mask streams from the one seed
+                seed=jnp.asarray(seed, jnp.int32) + jnp.int32(i * 1000003),
+                hp_like=hp_like, interpret=interpret,
+            )
+            feats.append(f[: end - start])
+            aligns.append(a[: end - start])
+        return jnp.concatenate(feats, 0), jnp.concatenate(aligns, 0)
     cfg = dict(
         batch=B, src_len=S, num_steps=N, feed_dim=F,
         dual=hp_like["dual"], use_ta=hp_like["use_ta"],
@@ -1299,8 +1588,20 @@ def teacher_decode(
         zoneout_output=hp_like["zoneout_output"],
         prenet_drop_rate=hp_like["prenet_drop_rate"],
         io_dtype=hp_like["io_dtype"],
+        src1_kind=hp_like.get("src1_kind", "forward"),
+        ls_cumulative=bool(hp_like.get("ls_cumulative", True)),
+        ls_kernel=int(hp_like.get("ls_kernel", 31)),
         interpret=bool(interpret or FORCE_INTERPRET),
     )
+    if _is_ls(cfg):
+        assert not cfg["use_ta"], "transition agent is a forward-attention knob"
+        assert "w_lsW" in weights and "ls_bias" in weights
+    else:
+        # the weights pytree must be structurally identical across kinds
+        # (custom_vjp requires matching grad structure)
+        weights = dict(weights)
+        weights.setdefault("w_lsW", jnp.zeros((8, 8), jnp.float32))
+        weights.setdefault("ls_bias", jnp.zeros((1,), jnp.float32))
     cfg_key = tuple(sorted(cfg.items()))
     conds = {"keys": keys, "mem1": mem1, "score_bias": score_bias}
     if mem2 is not None:
