@@ -157,7 +157,12 @@ def fused_decode_fits(hp, batch: int, max_iters: int, src_len: int) -> bool:
     out_pad = -(-(hp.outputs_per_step * (out_dim + 1)) // 128) * 128
     align_pad = -(-((2 if dual else 1) * src_len) // 128) * 128
     rings = 2 * b_pad * (out_pad + align_pad) * 4
-    return kv + cond + rings < budget
+    # location-sensitive TAP scratch (f32, tap count padded to sublanes)
+    ls = (
+        b_pad * src_len * (((hp.attention_kernel + 7) // 8) * 8) * 4
+        if hp.attention == "location_sensitive" else 0
+    )
+    return kv + cond + rings + ls < budget
 
 
 def fused_decode_max_batch(hp, max_iters: int, src_len: int) -> int:
@@ -236,7 +241,6 @@ def _make_kernel(cfg: Dict[str, Any]):
     src1_kind = cfg.get("src1_kind", "forward")
     ls_cumulative = cfg.get("ls_cumulative", True)
     LSK = cfg.get("ls_kernel", 31)      # location conv width
-    LSF = cfg.get("ls_filters", 32)     # location conv channels
     n_src = 2 if dual else 1
     out_width = R * M + R
     # DMA'd row slices need 128-aligned trailing dims (Mosaic tiling)
@@ -260,9 +264,8 @@ def _make_kernel(cfg: Dict[str, Any]):
         w_qp_ref,          # (AU, A1[+A2])
         vblk_ref,          # (A1[+A2], n_src) f32 — block-diagonal [v1 | v2]
         w_ta_ref, b_ta_ref,  # (E1+AU, 1), (1,) — forward-attention TA (zeros if unused)
-        w_lsc_ref, b_lsc_ref,  # (LSK, LSF), (LSF,) — location conv (zeros if unused)
-        w_locl_ref,        # (LSF, A1) — location features → score units
-        b_latt_ref,        # (A1,) — location-sensitive additive bias
+        w_lsW_ref,         # (K_pad, A1) folded location conv·dense (zeros if unused)
+        ls_bias_ref,       # (A1,) folded location bias (zeros if unused)
         w_l1_ref, b_l1_ref, w_l2_ref, b_l2_ref,
         w_inproj_ref, b_inproj_ref,
         ln1_s_ref, ln1_b_ref, ln2_s_ref, ln2_b_ref,
@@ -284,6 +287,7 @@ def _make_kernel(cfg: Dict[str, Any]):
         row_f32,           # (2, B, out_pad) f32 — 2-slot DMA ring
         align_row,         # (2, B, align_pad) f32 — 2-slot DMA ring
         out_sem, align_sem,  # DMA((2,)) each
+        *extra_scratch,    # [ls_tap (B, S, K_pad)] when location-sensitive
     ):
         if keep < 1.0:  # prng_seed is TPU-only; dropout off needs no PRNG
             pltpu.prng_seed(seed_ref[0])
@@ -295,6 +299,12 @@ def _make_kernel(cfg: Dict[str, Any]):
             kcache[:] = jnp.zeros(kcache.shape, io_dtype)
             vcache[:] = jnp.zeros(vcache.shape, io_dtype)
 
+        if src1_kind == "location_sensitive":
+            ls_tap = extra_scratch[0]
+            # zero once: padding lanes LSK..K_pad feed the matmul every
+            # step, and VMEM scratch garbage can be NaN (NaN·0 = NaN)
+            ls_tap[:] = jnp.zeros(ls_tap.shape, jnp.float32)
+
         def dropout(x, width):
             if keep >= 1.0:
                 return x
@@ -303,29 +313,34 @@ def _make_kernel(cfg: Dict[str, Any]):
             return jnp.where(mask, x * (1.0 / keep), jnp.zeros_like(x))
 
         def ls_features(prev):
-            """SAME conv over the source axis as LSK shifted adds (no conv
-            primitive in Mosaic; the taps are static rolls), then one MXU
-            matmul (B·S, LSF) @ (LSF, A1) to score units."""
+            """SAME conv + dense over the alignment as ONE MXU matmul.
+
+            Conv1d(prev)·W_loc is linear in prev, so the wrapper folds
+            ``conv_kernel · location_layer`` into a single (K_pad, A1)
+            matrix; the kernel builds TAP[:, s, k] = prev[:, s + k − K//2]
+            with LSK static rolls + 1-lane stores, then one
+            (B·S, K_pad) @ (K_pad, A1) matmul. The round-3 form (31
+            broadcast-MACs into a (B, S, LSF) feature map on the VPU,
+            ~4 M MACs/step) loses to the MXU by an order of magnitude at
+            these shapes (ops/fused_teacher.py _make_ls_fns has the same
+            formulation on the training path)."""
             col = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
-            f = jnp.zeros((B, S, LSF), jnp.float32) + b_lsc_ref[:].astype(
-                jnp.float32
-            )
             half = LSK // 2
             for k in range(LSK):
                 d = k - half
                 # circular roll by (-d) mod S == shift left by d (pltpu.roll
                 # rejects negative shifts); edge wrap is masked out below
                 tap = pltpu.roll(prev, (-d) % S, axis=1) if d % S else prev
-                tap = jnp.where((col + d >= 0) & (col + d < S), tap, 0.0)
-                f = f + tap[:, :, None] * w_lsc_ref[k][None, None, :].astype(
-                    jnp.float32
+                ls_tap[:, :, k] = jnp.where(
+                    (col + d >= 0) & (col + d < S), tap, 0.0
                 )
+            KP = ls_tap.shape[-1]
             loc = jnp.dot(
-                f.reshape(B * S, LSF).astype(io_dtype),
-                w_locl_ref[:],
+                ls_tap[:].reshape(B * S, KP).astype(io_dtype),
+                w_lsW_ref[:],
                 preferred_element_type=jnp.float32,
             ).reshape(B, S, A1)
-            return loc + b_latt_ref[:].astype(jnp.float32)
+            return loc + ls_bias_ref[:].astype(jnp.float32)
 
         def body(carry):
             (
@@ -719,7 +734,13 @@ def _run_fused(operands: Tuple, cfg_key: Tuple) -> Tuple:
             pltpu.VMEM((2, B, align_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + (
+            # TAP staging for the location-feature matmul (see ls_features)
+            [pltpu.VMEM(
+                (B, S, ((cfg.get("ls_kernel", 31) + 7) // 8) * 8), jnp.float32
+            )]
+            if cfg.get("src1_kind") == "location_sensitive" else []
+        ),
     )
     return pl.pallas_call(
         kernel,
@@ -756,23 +777,26 @@ def _ta_operands(variables, cond, hp, w):
 
 
 def _ls_operands(variables, hp, w):
-    """Location-sensitive conv/projection weights, or zeros when unused."""
+    """Folded location-sensitive matrix/bias, or zeros when unused.
+
+    ``Conv1d → location_layer`` is linear, so it collapses to ONE
+    (K_pad, A1) matrix ``conv_kernel[:, 0, :] @ location_layer`` plus the
+    bias vector ``conv_bias @ location_layer + attention_b`` (see
+    ls_features in the kernel; same folding as the training kernel's
+    _make_ls_fns). Rows are zero-padded to the f32 sublane tile."""
+    kp = ((hp.attention_kernel + 7) // 8) * 8
+    a1 = hp.attention1_out_units
     if hp.attention == "location_sensitive":
         a0 = variables["params"]["attention_0"]
-        return (
-            # nn.Conv kernel is (K, in=1, F) → squeeze the in axis
-            jnp.asarray(a0["location_conv"]["kernel"], jnp.float32)[:, 0, :],
-            jnp.asarray(a0["location_conv"]["bias"], jnp.float32),
-            w(a0["location_layer"]["kernel"]),
-            jnp.asarray(a0["attention_b"], jnp.float32),
+        conv_k = jnp.asarray(a0["location_conv"]["kernel"], jnp.float32)[:, 0, :]
+        loc_l = jnp.asarray(a0["location_layer"]["kernel"], jnp.float32)
+        w_lsW = jnp.pad(conv_k @ loc_l, ((0, kp - hp.attention_kernel), (0, 0)))
+        ls_bias = (
+            jnp.asarray(a0["location_conv"]["bias"], jnp.float32) @ loc_l
+            + jnp.asarray(a0["attention_b"], jnp.float32)
         )
-    k, f = hp.attention_kernel, hp.attention_filters
-    return (
-        jnp.zeros((k, f), jnp.float32),
-        jnp.zeros((f,), jnp.float32),
-        jnp.zeros((f, hp.attention1_out_units), jnp.float32),
-        jnp.zeros((hp.attention1_out_units,), jnp.float32),
-    )
+        return (w(w_lsW), ls_bias)
+    return (jnp.zeros((kp, a1), jnp.float32), jnp.zeros((a1,), jnp.float32))
 
 
 def _slice_cond(cond, start: int, end: int):
