@@ -27,9 +27,51 @@ import time
 
 # Stand-in for the TF-CPU reference (north star denominator): measured
 # JAX-CPU float32 frames/sec of this exact benchmark config on the build
-# image (single vCPU, 2026-08-16, see BASELINE.md). Re-measure with
-# --measure-cpu-baseline.
+# image (single vCPU, 2026-08-16, see BASELINE.md). Used as the FALLBACK
+# only: the default bench re-measures the denominator in a CPU subprocess
+# each run (VERDICT r3 weak #2 — same-code numerator and denominator),
+# falling back to this constant if the subprocess fails.
 CPU_BASELINE_FRAMES_PER_SEC = 6531.4
+
+
+def measure_cpu_baseline_subprocess(timeout_s: float = 900.0):
+    """Fresh CPU stand-in denominator: run THIS script with
+    --measure-cpu-baseline in a subprocess (JAX_PLATFORMS must be set
+    before the interpreter starts — the axon sitecustomize pre-imports
+    jax, so in-process reconfiguration cannot switch an already-
+    initialized TPU client back to CPU). Returns (frames_per_sec, source)
+    where source is "measured" or "fallback_constant"."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    try:
+        proc = subprocess.run(
+            [
+                sys.executable, __file__, "--measure-cpu-baseline",
+                "--repeats", "1", "--skip-rtf",
+            ],
+            capture_output=True, text=True, timeout=timeout_s, env=env,
+        )
+        for line in proc.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                rec = json.loads(line)
+                if rec.get("metric") == "mel_frames_per_sec_per_chip":
+                    return float(rec["value"]), "measured"
+        print(
+            f"[bench] cpu-baseline subprocess produced no record "
+            f"(rc={proc.returncode}); using the recorded constant",
+            file=sys.stderr,
+        )
+    except Exception as e:  # timeout, OOM, ...
+        print(
+            f"[bench] cpu-baseline subprocess failed ({e!r}); "
+            "using the recorded constant",
+            file=sys.stderr,
+        )
+    return CPU_BASELINE_FRAMES_PER_SEC, "fallback_constant"
 
 
 def flagship_hparams():
@@ -637,6 +679,9 @@ def main():
                    help="fused kernel: block-diagonal MXU attend formulation")
     p.add_argument("--measure-cpu-baseline", action="store_true",
                    help="force CPU and report (for updating the baseline constant)")
+    p.add_argument("--no-cpu-refresh", action="store_true",
+                   help="skip the per-run CPU denominator subprocess and "
+                        "divide by the recorded constant instead")
     p.add_argument("--ab", choices=["fused-vs-xla", "mxu"], default=None,
                    help="interleaved A/B comparison in one process")
     p.add_argument("--ab-pairs", type=int, default=6)
@@ -748,6 +793,18 @@ def main():
             file=sys.stderr,
         )
 
+    # Refresh the denominator so the ratio divides same-code numbers
+    # (VERDICT r3 weak #2). Skipped in the CPU-measurement mode itself.
+    if args.measure_cpu_baseline or args.no_cpu_refresh:
+        cpu_fps, cpu_src = CPU_BASELINE_FRAMES_PER_SEC, "recorded_constant"
+    else:
+        cpu_fps, cpu_src = measure_cpu_baseline_subprocess()
+        print(
+            f"[bench] cpu stand-in denominator: {cpu_fps:.1f} frames/s "
+            f"({cpu_src}; recorded constant {CPU_BASELINE_FRAMES_PER_SEC})",
+            file=sys.stderr,
+        )
+
     # Headline: device-busy throughput when a hardware xplane was captured
     # (reproducible across sessions; BASELINE.md "device-time comparison"),
     # else wall clock (CPU runs / capture unavailable). Wall numbers always
@@ -764,31 +821,27 @@ def main():
             "metric": "mel_frames_per_sec_per_chip_device_time",
             "value": round(dev_fps, 1),
             "unit": "frames/sec",
-            "vs_baseline": round(dev_fps / CPU_BASELINE_FRAMES_PER_SEC, 2),
+            "vs_baseline": round(dev_fps / cpu_fps, 2),
             # both clock domains, so the JSON is self-describing: the
             # headline divides TPU *device-busy* throughput by the CPU
             # stand-in's wall throughput (valid because idle-host wall ≈
             # device — BASELINE.md protocol); the wall/wall ratio is the
             # conservative same-domain number.
-            "vs_baseline_device_time": round(
-                dev_fps / CPU_BASELINE_FRAMES_PER_SEC, 2
-            ),
-            "vs_baseline_wall": round(
-                result["frames_per_sec"] / CPU_BASELINE_FRAMES_PER_SEC, 2
-            ),
+            "vs_baseline_device_time": round(dev_fps / cpu_fps, 2),
+            "vs_baseline_wall": round(result["frames_per_sec"] / cpu_fps, 2),
             "wall_frames_per_sec": round(result["frames_per_sec"], 1),
+            "cpu_baseline_frames_per_sec": round(cpu_fps, 1),
+            "cpu_baseline_source": cpu_src,
         }
     else:
         record = {
             "metric": "mel_frames_per_sec_per_chip",
             "value": round(result["frames_per_sec"], 1),
             "unit": "frames/sec",
-            "vs_baseline": round(
-                result["frames_per_sec"] / CPU_BASELINE_FRAMES_PER_SEC, 2
-            ),
-            "vs_baseline_wall": round(
-                result["frames_per_sec"] / CPU_BASELINE_FRAMES_PER_SEC, 2
-            ),
+            "vs_baseline": round(result["frames_per_sec"] / cpu_fps, 2),
+            "vs_baseline_wall": round(result["frames_per_sec"] / cpu_fps, 2),
+            "cpu_baseline_frames_per_sec": round(cpu_fps, 1),
+            "cpu_baseline_source": cpu_src,
         }
     print(json.dumps(record))
 

@@ -39,6 +39,7 @@ def test_bench_json_contract():
     assert set(record) <= {
         "metric", "value", "unit", "vs_baseline",
         "vs_baseline_wall", "vs_baseline_device_time", "wall_frames_per_sec",
+        "cpu_baseline_frames_per_sec", "cpu_baseline_source",
     }
     # wall-clock metric on CPU; device-time metric when a hardware xplane
     # was captured (not exercised here — CPU runs skip the capture)
