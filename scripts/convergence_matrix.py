@@ -1,0 +1,513 @@
+#!/usr/bin/env python
+"""Convergence matrix: every conditioned model family demonstrably LEARNS
+its conditioning (VERDICT r3 missing #4; SURVEY.md §4 item 3, §0 capability
+surface).
+
+The r3 evidence run proved the flagship mel model learns; this script runs
+short TPU training runs for the remaining families and — crucially — shows
+each conditioning signal actually SHAPES the output rather than being
+ignored by the optimizer:
+
+* ``speaker``  (VCTK config): each synthetic speaker speaks in a distinct
+  register (data/synthetic.py _symbol_freq). Evidence: synthesizing the
+  SAME text with each speaker id produces mel spectral centroids that
+  track the per-speaker training statistics (swap moves the output toward
+  the swapped-in speaker's register).
+* ``accent``   (ICASSP'19 Japanese pitch-accent config): odd accent types
+  double the fundamental. Evidence: the same phoneme sequence synthesized
+  with all-low vs all-high accent sequences differs in the conditioned
+  direction (higher spectral centroid under the high-accent sequence).
+* ``mgclf0``   (WORLD-feature family): mgc is a fixed down-projection of
+  the mel, lf0 the active symbol's quantized pitch. Evidence: mgc MSE
+  falls, held-out lf0 frame accuracy beats the majority-class baseline,
+  and decode self-terminates.
+* ``ls``       (location-sensitive attention comparison family): trains
+  through the FUSED LS teacher kernel (round-4 extension). Evidence: loss
+  falls and a monotonic-diagonal alignment emerges (diagonality score).
+
+Artifacts land in --out-dir (default artifacts/convergence_r4): one
+matrix.json + one compact PNG per family; no checkpoints are committed.
+
+Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/convergence_matrix.py \
+      [--families speaker,accent,mgclf0,ls] [--steps 1500] [--run-root runs/matrix]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+COMMON = dict(
+    dataset="synthetic",
+    compute_dtype="bfloat16",
+    use_gradient_clipping="true",
+    use_cache="true",
+    save_summary_steps="50",
+    log_step_count_steps="50",
+    save_checkpoints_steps="1000",
+    alignment_save_steps="500",
+    eval_start_delay_secs="999999",   # short runs: skip mid-run eval
+    batch_size="32",
+)
+
+FLAGSHIP = dict(
+    tacotron_model="DualSourceSelfAttentionTacotronModel",
+    encoder="SelfAttentionCBHGEncoder",
+    decoder="DualSourceSelfAttentionDecoder",
+    attention="forward",
+    attention2="additive",
+)
+
+
+def hp_obj(overrides: dict):
+    from self_attention_tacotron_tpu.hparams import default_hparams
+
+    hp = default_hparams()
+    hp.parse(",".join(f"{k}={v}" for k, v in overrides.items()))
+    return hp
+
+
+def run_train(tag: str, run_root: str, overrides: dict, steps: int,
+              corpus_kw: dict) -> dict:
+    """Generate corpus variant + train via the user-facing CLI; returns
+    paths + parsed loss trajectory."""
+    import subprocess
+
+    from self_attention_tacotron_tpu.data.synthetic import generate_corpus
+
+    run_dir = os.path.join(run_root, tag)
+    data_dir = os.path.join(run_dir, "data")
+    list_dir = os.path.join(run_dir, "lists")
+    ckpt_dir = os.path.join(run_dir, "checkpoints")
+    hp = hp_obj(overrides)
+    if not os.path.exists(os.path.join(list_dir, "train.lst")):
+        generate_corpus(
+            data_dir, hp, num_utterances=192, min_symbols=17, max_symbols=24,
+            selected_list_dir=list_dir, **corpus_kw,
+        )
+    hp_str = ",".join(f"{k}={v}" for k, v in overrides.items())
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "train.py"),
+            f"--source-data-root={data_dir}",
+            f"--checkpoint-dir={ckpt_dir}",
+            f"--selected-list-dir={list_dir}",
+            "--selected-list-filename=train",
+            "--validation-list-filename=validation",
+            f"--steps={steps}",
+            f"--hparams={hp_str}",
+        ],
+        check=True, env=env, cwd=REPO,
+    )
+    losses = []
+    with open(os.path.join(ckpt_dir, "log", "metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if "loss" in rec:
+                losses.append((rec["step"], rec))
+    return dict(run_dir=run_dir, data_dir=data_dir, list_dir=list_dir,
+                ckpt_dir=ckpt_dir, losses=losses, hp=hp)
+
+
+def restore_variables(ckpt_dir: str):
+    import orbax.checkpoint as ocp
+
+    mngr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
+    step = mngr.latest_step()
+    restored = mngr.restore(step)
+    out = {}
+    for collection in ("params", "batch_stats"):
+        tree = (
+            restored[collection]
+            if isinstance(restored, dict)
+            else getattr(restored, collection)
+        )
+        out[collection] = tree
+    return out, int(step)
+
+
+def load_val_batch(info, n=8, with_accent=False):
+    """First n validation utterances as a padded predict feed."""
+    from self_attention_tacotron_tpu.data.dataset import (
+        parse_source_tfrecord,
+        parse_target_tfrecord,
+        read_selected_list,
+    )
+
+    hp = info["hp"]
+    ids = read_selected_list(info["list_dir"], "validation")[:n]
+    srcs, tgts = [], []
+    for utt in ids:
+        srcs.append(parse_source_tfrecord(
+            os.path.join(info["data_dir"], f"{utt}.{hp.source_file_extension}")
+        ))
+        tgts.append(parse_target_tfrecord(
+            os.path.join(info["data_dir"], f"{utt}.{hp.target_file_extension}")
+        ))
+    S = max(len(s.source) for s in srcs)
+    B = len(srcs)
+    import jax.numpy as jnp
+
+    batch = {
+        "source": jnp.asarray(
+            np.stack([np.pad(s.source, (0, S - len(s.source))) for s in srcs]),
+            jnp.int32,
+        ),
+        "source_lengths": jnp.asarray([len(s.source) for s in srcs], jnp.int32),
+    }
+    if getattr(srcs[0], "speaker_id", None) is not None:
+        batch["speaker_id"] = jnp.asarray(
+            [s.speaker_id for s in srcs], jnp.int32
+        )
+    if with_accent:
+        batch["accent_type"] = jnp.asarray(
+            np.stack([
+                np.pad(s.accent_type, (0, S - len(s.accent_type)))
+                for s in srcs
+            ]),
+            jnp.int32,
+        )
+    return ids, srcs, tgts, batch
+
+
+def mel_centroid(mel: np.ndarray) -> float:
+    """Energy-weighted mean mel-bin index — the register statistic."""
+    w = np.maximum(mel - mel.min(), 0.0) ** 2
+    bins = np.arange(mel.shape[-1], dtype=np.float64)
+    denom = w.sum() + 1e-9
+    return float((w * bins[None, :]).sum() / denom)
+
+
+def save_mel_grid(mels, titles, out_png, suptitle):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = len(mels)
+    fig, axes = plt.subplots(n, 1, figsize=(8, 2.0 * n), squeeze=False)
+    for ax, mel, title in zip(axes[:, 0], mels, titles):
+        ax.imshow(np.asarray(mel, np.float32).T, origin="lower",
+                  aspect="auto", interpolation="nearest")
+        ax.set_title(title, fontsize=8)
+        ax.set_yticks([])
+    fig.suptitle(suptitle, fontsize=10)
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=110)
+    plt.close(fig)
+
+
+def family_speaker(run_root: str, out_dir: str, steps: int) -> dict:
+    """Multi-speaker (VCTK config): speaker-swap moves the register."""
+    from self_attention_tacotron_tpu.models.models import tacotron_model_factory
+    from self_attention_tacotron_tpu.synthesis import make_predict_fn
+
+    import jax
+    import jax.numpy as jnp
+
+    overrides = dict(COMMON, **FLAGSHIP,
+                     use_speaker_embedding="true", num_speakers="4",
+                     speaker_embedding_dim="16")
+    info = run_train("speaker", run_root, overrides, steps,
+                     corpus_kw=dict(num_speakers=4))
+    variables, step = restore_variables(info["ckpt_dir"])
+    model = tacotron_model_factory(info["hp"])
+    predict = make_predict_fn(model)
+    ids, srcs, tgts, batch = load_val_batch(info, n=8)
+
+    # per-speaker TRAINING register statistics (ground truth mels)
+    spk_stats = {}
+    for s, t in zip(srcs, tgts):
+        spk_stats.setdefault(s.speaker_id, []).append(mel_centroid(t.mel))
+    true_cent = {k: float(np.mean(v)) for k, v in sorted(spk_stats.items())}
+
+    # synthesize the SAME batch under each speaker id
+    pred_cent = {}
+    mels_for_png, titles = [], []
+    key = jax.random.PRNGKey(0)
+    for spk in range(4):
+        b = dict(batch, speaker_id=jnp.full_like(batch["speaker_id"], spk))
+        out = predict(variables, b, key)
+        cents = []
+        for i in range(len(ids)):
+            n = int(out["lengths"][i])
+            if n >= 4:
+                cents.append(mel_centroid(np.asarray(out["mel"][i, :n])))
+        pred_cent[spk] = float(np.mean(cents))
+        if ids:
+            n = int(out["lengths"][0])
+            mels_for_png.append(np.asarray(out["mel"][0, : max(n, 4)]))
+            titles.append(
+                f"speaker {spk}: centroid {pred_cent[spk]:.2f} "
+                f"(train stat {true_cent.get(spk, float('nan')):.2f})"
+            )
+    save_mel_grid(
+        mels_for_png, titles, os.path.join(out_dir, "speaker_swap.png"),
+        f"same text, four speaker ids (step {step})",
+    )
+    # the conditioned direction: predicted centroids must be strictly
+    # increasing in speaker index (each speaker speaks 1.35× higher) and
+    # correlate with the training statistics
+    order_ok = all(
+        pred_cent[k + 1] > pred_cent[k] for k in range(3)
+    )
+    corr = float(np.corrcoef(
+        [pred_cent[k] for k in sorted(pred_cent)],
+        [true_cent[k] for k in sorted(pred_cent)],
+    )[0, 1])
+    first, last = info["losses"][0][1]["loss"], info["losses"][-1][1]["loss"]
+    return dict(
+        family="speaker", steps=steps, checkpoint_step=step,
+        first_loss=first, final_loss=last,
+        predicted_centroid_by_speaker=pred_cent,
+        training_centroid_by_speaker=true_cent,
+        register_order_monotonic=bool(order_ok),
+        centroid_correlation=corr,
+        ok=bool(order_ok and corr > 0.9 and last < first),
+    )
+
+
+def family_accent(run_root: str, out_dir: str, steps: int) -> dict:
+    """Pitch-accent conditioning: high-accent sequences raise the register."""
+    from self_attention_tacotron_tpu.models.models import tacotron_model_factory
+    from self_attention_tacotron_tpu.synthesis import make_predict_fn
+
+    import jax
+    import jax.numpy as jnp
+
+    overrides = dict(
+        COMMON, **FLAGSHIP,
+        encoder="SelfAttentionCBHGEncoderWithAccentType",
+        use_accent_type="true", num_accent_type="4",
+        accent_type_offset="0", accent_type_embedding_dim="8",
+    )
+    info = run_train("accent", run_root, overrides, steps,
+                     corpus_kw=dict(with_accent=True))
+    variables, step = restore_variables(info["ckpt_dir"])
+    model = tacotron_model_factory(info["hp"])
+    predict = make_predict_fn(model)
+    ids, srcs, tgts, batch = load_val_batch(info, n=8, with_accent=True)
+
+    key = jax.random.PRNGKey(0)
+    # all-LOW (even type 0) vs all-HIGH (odd type 1) accent sequences on
+    # the SAME phonemes: the learned convention doubles f0 on odd types
+    results = {}
+    mels_png, titles = [], []
+    for name, acc_val in (("low", 0), ("high", 1)):
+        b = dict(batch, accent_type=jnp.full_like(batch["accent_type"], acc_val))
+        out = predict(variables, b, key)
+        cents = []
+        for i in range(len(ids)):
+            n = int(out["lengths"][i])
+            if n >= 4:
+                cents.append(mel_centroid(np.asarray(out["mel"][i, :n])))
+        results[name] = float(np.mean(cents))
+        n = int(out["lengths"][0])
+        mels_png.append(np.asarray(out["mel"][0, : max(n, 4)]))
+        titles.append(f"all-{name} accents: centroid {results[name]:.2f}")
+    save_mel_grid(
+        mels_png, titles, os.path.join(out_dir, "accent_swap.png"),
+        f"same phonemes, low vs high pitch-accent sequence (step {step})",
+    )
+    first, last = info["losses"][0][1]["loss"], info["losses"][-1][1]["loss"]
+    return dict(
+        family="accent", steps=steps, checkpoint_step=step,
+        first_loss=first, final_loss=last,
+        centroid_all_low=results["low"], centroid_all_high=results["high"],
+        high_minus_low=results["high"] - results["low"],
+        ok=bool(results["high"] > results["low"] + 0.5 and last < first),
+    )
+
+
+def family_mgclf0(run_root: str, out_dir: str, steps: int) -> dict:
+    """WORLD-feature family: mgc regression + lf0 classification learn."""
+    from self_attention_tacotron_tpu.models.models import tacotron_model_factory
+    from self_attention_tacotron_tpu.synthesis import make_predict_fn
+
+    import jax
+
+    overrides = dict(
+        COMMON,
+        tacotron_model="MgcLf0TacotronModel",
+        encoder="ZoneoutEncoderV1",
+        decoder="MgcLf0ExtendedDecoder",
+        attention="forward",
+    )
+    info = run_train("mgclf0", run_root, overrides, steps, corpus_kw={})
+    variables, step = restore_variables(info["ckpt_dir"])
+    model = tacotron_model_factory(info["hp"])
+    predict = make_predict_fn(model)
+    ids, srcs, tgts, batch = load_val_batch(info, n=8)
+    out = predict(variables, batch, jax.random.PRNGKey(0))
+
+    accs, mses, stopped = [], [], []
+    hp = info["hp"]
+    for i, t in enumerate(tgts):
+        n = min(int(out["lengths"][i]), int(t.target_length))
+        if n < 4:
+            continue
+        pred_lf0 = np.argmax(np.asarray(out["lf0"][i, :n]), axis=-1)
+        accs.append(float(np.mean(pred_lf0 == t.lf0[:n])))
+        mses.append(float(np.mean(
+            (np.asarray(out["mgc"][i, :n]) - t.mgc[:n]) ** 2
+        )))
+        stopped.append(
+            int(out["lengths"][i]) < hp.max_iters * hp.outputs_per_step
+        )
+    # majority-class baseline for lf0 over the scored frames
+    all_true = np.concatenate([
+        t.lf0[: min(int(out["lengths"][i]), int(t.target_length))]
+        for i, t in enumerate(tgts)
+    ])
+    majority = float(
+        np.max(np.bincount(all_true.astype(np.int64))) / len(all_true)
+    )
+    loss_steps = [r for _, r in info["losses"]]
+    first, last = loss_steps[0], loss_steps[-1]
+    acc = float(np.mean(accs))
+    result = dict(
+        family="mgclf0", steps=steps, checkpoint_step=step,
+        first_loss=first["loss"], final_loss=last["loss"],
+        first_mgc_loss=first.get("mgc_loss"), final_mgc_loss=last.get("mgc_loss"),
+        first_lf0_loss=first.get("lf0_loss"), final_lf0_loss=last.get("lf0_loss"),
+        heldout_lf0_frame_accuracy=acc,
+        lf0_majority_baseline=majority,
+        heldout_mgc_mse=float(np.mean(mses)),
+        all_stopped=bool(all(stopped)),
+        ok=bool(
+            acc > majority + 0.1
+            and last["mgc_loss"] < first["mgc_loss"]
+            and last["lf0_loss"] < first["lf0_loss"]
+        ),
+    )
+    # compact loss-curve PNG
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(7, 4))
+    for k in ("loss", "mgc_loss", "lf0_loss", "done_loss"):
+        pts = [(s, r[k]) for s, r in info["losses"] if k in r]
+        if pts:
+            ax.plot(*zip(*pts), label=k, lw=1.0)
+    ax.set_yscale("log")
+    ax.legend()
+    ax.set_title(
+        f"MgcLf0: lf0 acc {acc:.2f} vs majority {majority:.2f} (step {step})"
+    )
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, "mgclf0_losses.png"), dpi=110)
+    plt.close(fig)
+    return result
+
+
+def diagonality(align: np.ndarray, src_len: int, dec_len: int) -> float:
+    """Fraction of alignment mass within ±0.15·S of the monotone diagonal."""
+    a = align[:dec_len, :src_len]
+    s_pos = np.arange(src_len)[None, :]
+    centers = np.linspace(0, src_len - 1, dec_len)[:, None]
+    band = np.abs(s_pos - centers) <= max(0.15 * src_len, 2.0)
+    return float((a * band).sum() / (a.sum() + 1e-9))
+
+
+def family_ls(run_root: str, out_dir: str, steps: int) -> dict:
+    """Location-sensitive attention trains FUSED; diagonal emerges."""
+    from self_attention_tacotron_tpu.models.models import tacotron_model_factory
+    from self_attention_tacotron_tpu.synthesis import make_predict_fn
+
+    import jax
+
+    overrides = dict(COMMON, **FLAGSHIP, attention="location_sensitive")
+    info = run_train("ls", run_root, overrides, steps, corpus_kw={})
+    variables, step = restore_variables(info["ckpt_dir"])
+    model = tacotron_model_factory(info["hp"])
+    predict = make_predict_fn(model)
+    ids, srcs, tgts, batch = load_val_batch(info, n=8)
+    out = predict(variables, batch, jax.random.PRNGKey(0))
+
+    hp = info["hp"]
+    diags = []
+    for i in range(len(ids)):
+        n_dec = max(int(out["lengths"][i]) // hp.outputs_per_step, 1)
+        diags.append(diagonality(
+            np.asarray(out["alignments"][0][i], np.float32),
+            int(batch["source_lengths"][i]), n_dec,
+        ))
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(1, 2, figsize=(9, 3.5))
+    for ax, i in zip(axes, range(2)):
+        n_dec = max(int(out["lengths"][i]) // hp.outputs_per_step, 1)
+        ax.imshow(
+            np.asarray(
+                out["alignments"][0][i][:n_dec, : int(batch["source_lengths"][i])],
+                np.float32,
+            ).T,
+            origin="lower", aspect="auto", interpolation="nearest",
+        )
+        ax.set_title(f"{ids[i]}: diagonality {diags[i]:.2f}", fontsize=8)
+    fig.suptitle(f"location-sensitive alignments (fused training, step {step})")
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, "ls_alignments.png"), dpi=110)
+    plt.close(fig)
+    first, last = info["losses"][0][1]["loss"], info["losses"][-1][1]["loss"]
+    return dict(
+        family="ls", steps=steps, checkpoint_step=step,
+        first_loss=first, final_loss=last,
+        median_diagonality=float(np.median(diags)),
+        ok=bool(np.median(diags) > 0.8 and last < first),
+    )
+
+
+FAMILIES = dict(
+    speaker=family_speaker, accent=family_accent,
+    mgclf0=family_mgclf0, ls=family_ls,
+)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--families", default="speaker,accent,mgclf0,ls")
+    p.add_argument("--steps", type=int, default=1500)
+    p.add_argument("--run-root", default=os.path.join(REPO, "runs", "matrix"))
+    p.add_argument("--out-dir",
+                   default=os.path.join(REPO, "artifacts", "convergence_r4"))
+    args = p.parse_args()
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    matrix_path = os.path.join(args.out_dir, "matrix.json")
+    matrix = {}
+    if os.path.exists(matrix_path):
+        matrix = json.load(open(matrix_path))
+    for fam in args.families.split(","):
+        fam = fam.strip()
+        print(f"[matrix] === family: {fam} ===", flush=True)
+        result = FAMILIES[fam](args.run_root, args.out_dir, args.steps)
+        matrix[fam] = result
+        with open(matrix_path, "w") as f:
+            json.dump(matrix, f, indent=2)
+        print(f"[matrix] {fam}: ok={result['ok']} "
+              + json.dumps({k: v for k, v in result.items()
+                            if isinstance(v, (int, float, bool))}),
+              flush=True)
+    bad = [k for k, v in matrix.items() if not v.get("ok")]
+    print(f"[matrix] done; failing families: {bad or 'none'}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

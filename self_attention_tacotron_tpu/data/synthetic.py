@@ -25,16 +25,81 @@ from self_attention_tacotron_tpu.hparams import HParams
 from self_attention_tacotron_tpu.text import text_to_sequence
 
 
-def _synthetic_wav(rng: np.random.RandomState, text_ids: np.ndarray, hp: HParams) -> np.ndarray:
+SEG_SECONDS = 0.08  # per-symbol tone-segment duration
+
+
+def _symbol_freq(sym: int, speaker: int = 0, accent_high: bool = False) -> float:
+    """Fundamental of one symbol's tone segment.
+
+    The conditioning signals are REAL, learnable acoustic effects:
+    * ``speaker``: each speaker speaks in a distinct register (×1.35 per
+      speaker index) — so a multi-speaker model must route the speaker
+      embedding into the decoder to predict the right spectra, and
+      speaker-swap at synthesis measurably shifts the spectral centroid.
+    * ``accent_high``: a high pitch accent doubles the fundamental
+      (mirroring the Japanese high/low pitch-accent distinction the
+      ICASSP'19 reference conditions on) — an accent-conditioned model
+      must consume the accent ids to place the octave correctly.
+    """
+    freq = 110.0 * (1.0 + (int(sym) % 24) / 4.0)
+    freq *= 1.35 ** speaker
+    if accent_high:
+        freq *= 2.0
+    return freq
+
+
+def _synthetic_wav(
+    rng: np.random.RandomState,
+    text_ids: np.ndarray,
+    hp: HParams,
+    *,
+    speaker: int = 0,
+    accent: Optional[np.ndarray] = None,
+) -> np.ndarray:
     """Per-symbol tone segments — alignment between text and audio is real."""
-    seg = int(0.08 * hp.sample_rate)
+    seg = int(SEG_SECONDS * hp.sample_rate)
     t = np.arange(seg) / hp.sample_rate
     chunks = []
-    for sym in text_ids:
-        freq = 110.0 * (1.0 + (int(sym) % 24) / 4.0)
+    for j, sym in enumerate(text_ids):
+        high = accent is not None and _accent_is_high(hp, int(accent[j]))
+        freq = _symbol_freq(int(sym), speaker, high)
         env = np.hanning(seg)
         chunks.append(np.sin(2 * np.pi * freq * t) * env * 0.5)
     return np.concatenate(chunks).astype(np.float32)
+
+
+def _accent_is_high(hp: HParams, accent_id: int) -> bool:
+    """Odd accent types are 'high' — a fixed, learnable convention."""
+    return (accent_id - hp.accent_type_offset) % 2 == 1
+
+
+def _world_features(
+    mel: np.ndarray, text_ids: np.ndarray, hp: HParams
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Learnable WORLD-feature stand-ins derived from the actual audio.
+
+    mgc: a fixed linear down-projection of the mel (stride-sampled bands)
+    — the mgc MSE head can actually fit it. lf0: the active symbol's
+    frequency quantized into ``num_lf0s`` bins per frame — the lf0
+    classification head has a real frame-to-pitch mapping to learn.
+    (The r3 generator emitted pure noise here, which made MgcLf0
+    convergence evidence impossible.)
+    """
+    n_frames = mel.shape[0]
+    stride = max(mel.shape[1] // hp.num_mgcs, 1)
+    mgc = mel[:, : stride * hp.num_mgcs : stride].astype(np.float32)
+    frames_per_symbol = SEG_SECONDS * 1000.0 / hp.frame_shift_ms
+    sym_idx = np.minimum(
+        (np.arange(n_frames) / frames_per_symbol).astype(np.int64),
+        len(text_ids) - 1,
+    )
+    freqs = np.asarray([_symbol_freq(int(s)) for s in text_ids], np.float64)
+    fmin, fmax = 100.0, 800.0
+    rel = (np.log(freqs[sym_idx]) - np.log(fmin)) / (np.log(fmax) - np.log(fmin))
+    lf0 = np.clip(
+        (rel * (hp.num_lf0s - 1)).round(), 0, hp.num_lf0s - 1
+    ).astype(np.int64)
+    return mgc, lf0
 
 
 def generate_corpus(
@@ -62,16 +127,19 @@ def generate_corpus(
         n = rng.randint(min_symbols, max_symbols + 1)
         text = "".join(alphabet[rng.randint(len(alphabet))] for _ in range(n))
         source = np.asarray(text_to_sequence(text), np.int64)
-        wav = _synthetic_wav(rng, source, hparams)
-        mel = audio.melspectrogram(wav)
-        spec = (
-            audio.spectrogram(wav) if hparams.use_linear_spectrogram_postnet else None
-        )
         accent = None
         if with_accent:
             accent = hparams.accent_type_offset + rng.randint(
                 0, max(hparams.num_accent_type - 1, 1), size=len(source)
             ).astype(np.int64)
+        # round-robin keeps speakers balanced; the speaker SHAPES the audio
+        # (register), so the embedding is learnable, not decorative
+        speaker = i % num_speakers
+        wav = _synthetic_wav(rng, source, hparams, speaker=speaker, accent=accent)
+        mel = audio.melspectrogram(wav)
+        spec = (
+            audio.spectrogram(wav) if hparams.use_linear_spectrogram_postnet else None
+        )
         write_source_tfrecord(
             os.path.join(out_dir, f"{utt_id}.{hparams.source_file_extension}"),
             SourceData(
@@ -79,14 +147,13 @@ def generate_corpus(
                 text=text,
                 source=source,
                 source_length=len(source),
-                speaker_id=int(rng.randint(num_speakers)),
+                speaker_id=speaker,
                 accent_type=accent,
             ),
         )
         mgc = lf0 = None
         if "MgcLf0" in hparams.tacotron_model or "MgcLf0" in hparams.decoder:
-            mgc = rng.rand(mel.shape[0], hparams.num_mgcs).astype(np.float32)
-            lf0 = rng.randint(0, hparams.num_lf0s, size=mel.shape[0]).astype(np.int64)
+            mgc, lf0 = _world_features(mel, source, hparams)
         write_target_tfrecord(
             os.path.join(out_dir, f"{utt_id}.{hparams.target_file_extension}"),
             TargetData(
