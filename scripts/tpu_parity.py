@@ -200,6 +200,71 @@ def run_train_case(
     }
 
 
+def run_eval_teacher_case(name: str, hp, batch: int = 32, frames: int = 400,
+                          src: int = 128, seed: int = 0):
+    """EVAL-mode teacher fused path on device (VERDICT r3 missing #6):
+    with zoneout factors ON and dropout OFF, eval is deterministic on
+    both paths — the kernel's constant keep-mask interpolation must match
+    the XLA ZoneoutLSTMCell eval blend at bench shapes."""
+    import copy
+
+    for k in (
+        "decoder_prenet_drop_rate", "encoder_prenet_drop_rate",
+        "decoder_self_attention_drop_rate", "self_attention_drop_rate",
+    ):
+        setattr(hp, k, 0.0)
+    hp.zoneout_factor_cell = 0.1
+    hp.zoneout_factor_output = 0.1
+    frames = (frames // hp.outputs_per_step) * hp.outputs_per_step
+    rng = np.random.RandomState(seed)
+    source = jnp.asarray(rng.randint(2, hp.num_symbols, (batch, src)), jnp.int32)
+    src_lengths = jnp.full((batch,), src, jnp.int32)
+    mel = jnp.asarray(rng.rand(batch, frames, hp.num_mels) * 2 - 1, jnp.float32)
+    tgt_lengths = jnp.full((batch,), frames, jnp.int32)
+    rngs = {
+        k: jax.random.PRNGKey(i)
+        for i, k in enumerate(["params", "dropout", "zoneout"])
+    }
+
+    def eval_out(use_pallas: bool):
+        hp_arm = copy.deepcopy(hp)
+        hp_arm.use_pallas_kernels = use_pallas
+        model_arm = tacotron_model_factory(hp_arm)
+        net = model_arm.network(is_training=False)
+        train_net = model_arm.network(is_training=True)
+        variables = train_net.init(rngs, source, src_lengths, mel, tgt_lengths)
+
+        @jax.jit
+        def fwd():
+            return net.apply(
+                variables, source, src_lengths, mel, tgt_lengths,
+                rngs={"dropout": jax.random.PRNGKey(5),
+                      "zoneout": jax.random.PRNGKey(6)},
+            )
+
+        return fwd()
+
+    ref = eval_out(use_pallas=False)
+    got = eval_out(use_pallas=True)
+    errs = {
+        "mel": float(np.abs(
+            np.asarray(got.frames["mel"], np.float32)
+            - np.asarray(ref.frames["mel"], np.float32)
+        ).max()),
+        "stop": float(np.abs(
+            np.asarray(got.stop_logits, np.float32)
+            - np.asarray(ref.stop_logits, np.float32)
+        ).max()),
+    }
+    # teacher-forced (no AR feedback): per-step rounding does not compound
+    # through the inputs, only through the state — tighter than AR decode
+    tols = {"mel": 0.03 if hp.compute_dtype == "float32" else 0.08,
+            "stop": 0.05}
+    ok = all(errs[k] <= tols[k] for k in tols)
+    return {"case": name, "dtype": hp.compute_dtype, "ok": ok, "tol": tols,
+            "max_errs": {k: round(v, 6) for k, v in errs.items()}}
+
+
 def run_shard_map_case(name: str, hp, batch: int = 8, src: int = 32,
                        seed: int = 0):
     """Fused kernel × ``jax.shard_map`` composition smoke (VERDICT r3
@@ -297,6 +362,13 @@ def main() -> int:
                     attention="location_sensitive", compute_dtype="bfloat16"
                 ),
                 batch=args.batch, frames=args.frames,
+            ),
+            # round-4: eval-mode teacher fused path (deterministic zoneout
+            # interpolation via constant keep-masks)
+            run_eval_teacher_case(
+                "teacher_kernel_eval_f32",
+                _case_hparams(compute_dtype="float32"),
+                batch=args.batch, frames=min(args.frames, 400),
             ),
         ]
         all_ok = all(r["ok"] for r in results)

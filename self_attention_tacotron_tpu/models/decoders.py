@@ -307,13 +307,15 @@ class Decoder(nn.Module):
     # ------------------------------------------------------------------ #
 
     def _fused_teacher_supported(self, cond: DecoderConditioning) -> bool:
-        """Training-mode Pallas fast path for the scanned region.
+        """Pallas fast path for the teacher-forced scanned region.
 
         Gated to the AR kernel's configuration family (forward attention
         ± TA or location-sensitive attention on source 1, additive on
-        source 2, 2-layer prenet, 2 decoder LSTMs). Eval stays on the XLA
-        scan: the kernel implements train-mode binary zoneout, not the
-        eval interpolation.
+        source 2, 2-layer prenet, 2 decoder LSTMs). Covers BOTH train
+        (binary zoneout masks) and eval (deterministic zoneout
+        interpolation, expressed as a constant keep-mask — VERDICT r3
+        missing #6); prenet inference dropout stays stochastic in eval
+        per reference semantics.
         """
         from self_attention_tacotron_tpu.models.attention import (
             AdditiveAttention,
@@ -322,7 +324,7 @@ class Decoder(nn.Module):
         )
         from self_attention_tacotron_tpu.ops import fused_teacher
 
-        if not (self.use_pallas and self.is_training):
+        if not self.use_pallas:
             return False
         if self.is_initializing():
             return False
@@ -444,9 +446,14 @@ class Decoder(nn.Module):
         )
         # Only draw an rng when something stochastic runs in-kernel: a fully
         # deterministic config (prenet_drop_rate=0, zoneout=0) must not
-        # require apply() to provide a dropout rng (ADVICE r2).
+        # require apply() to provide a dropout rng (ADVICE r2). Eval-mode
+        # zoneout is deterministic interpolation — no PRNG.
         stochastic = self.prenet_drop_rate > 0.0 or (
-            self.zoneout_factor_cell > 0.0 or self.zoneout_factor_output > 0.0
+            self.is_training
+            and (
+                self.zoneout_factor_cell > 0.0
+                or self.zoneout_factor_output > 0.0
+            )
         )
         if stochastic:
             seed = jax.random.randint(
@@ -477,6 +484,7 @@ class Decoder(nn.Module):
             src1_kind="location_sensitive" if is_ls else "forward",
             ls_cumulative=bool(getattr(mechs[0], "cumulative_weights", True)),
             ls_kernel=int(getattr(mechs[0], "attention_kernel", 31)),
+            eval_zoneout=not self.is_training,
         )
         features, aligns = fused_teacher.teacher_decode(
             weights=weights, keys=keys, mem1=cond.memories[0], mem2=mem2,

@@ -84,6 +84,19 @@ def _init_alpha(cfg):
     ).astype(jnp.float32)
 
 
+def _needs_prng(cfg) -> bool:
+    """PRNG is needed for prenet dropout always (inference dropout is
+    load-bearing — models/modules.py PreNet), and for zoneout only in
+    train mode: eval zoneout is the deterministic interpolation
+    ``z·prev + (1−z)·new`` (modules.py ZoneoutLSTMCell), which the kernel
+    expresses as a CONSTANT keep-mask — no random bits drawn."""
+    if cfg["prenet_drop_rate"] > 0.0:
+        return True
+    return not cfg.get("eval_zoneout", False) and (
+        cfg["zoneout_cell"] > 0.0 or cfg["zoneout_output"] > 0.0
+    )
+
+
 def _carry_layout(cfg):
     """Packed carry row layout: name → (offset, width)."""
     AU, DU = cfg["att_units"], cfg["dec_units"]
@@ -247,8 +260,18 @@ def _make_mask_fns(cfg):
     def prenet_mask(width):
         return draw_mask((B, width), keep_bits) if keep < 1.0 else None
 
+    eval_zoneout = cfg.get("eval_zoneout", False)
+
     def zoneout_masks(width):
-        # keep_old masks (1.0 = keep previous state), drawn c then h
+        # keep_old masks (1.0 = keep previous state), drawn c then h.
+        # Eval mode: the keep-mask is the CONSTANT zoneout factor — the
+        # blend c_prev·m + c_new·(1−m) is then exactly the deterministic
+        # eval interpolation, so forward AND the mask-regenerating
+        # backward stay correct with no separate code path.
+        if eval_zoneout:
+            mc = jnp.full((B, width), zc, jnp.float32) if zc > 0.0 else None
+            mh = jnp.full((B, width), zo, jnp.float32) if zo > 0.0 else None
+            return mc, mh
         mc = draw_mask((B, width), zc_bits) if zc > 0.0 else None
         mh = draw_mask((B, width), zo_bits) if zo > 0.0 else None
         return mc, mh
@@ -483,9 +506,7 @@ def _make_fwd_kernel(cfg):
     alayout, a_pad = _acts_layout(cfg)
     align_w = (2 if dual else 1) * S
     align_pad = _ceil128(align_w)
-    stochastic = cfg["prenet_drop_rate"] > 0.0 or (
-        cfg["zoneout_cell"] > 0.0 or cfg["zoneout_output"] > 0.0
-    )
+    stochastic = _needs_prng(cfg)
 
     ls = _is_ls(cfg)
     ls_cum = _ls_carries_cum(cfg)
@@ -676,9 +697,7 @@ def _make_bwd_kernel(cfg):
     slayout, k_pad = _stack_layout(cfg)
     s_width = max(off + w for off, w in slayout.values())
     align_w = (2 if dual else 1) * S
-    stochastic = cfg["prenet_drop_rate"] > 0.0 or (
-        cfg["zoneout_cell"] > 0.0 or cfg["zoneout_output"] > 0.0
-    )
+    stochastic = _needs_prng(cfg)
     io_dtype = jnp.bfloat16 if cfg["io_dtype"] == "bfloat16" else jnp.float32
 
     def kernel(seed_ref, *args):
@@ -1591,6 +1610,7 @@ def teacher_decode(
         src1_kind=hp_like.get("src1_kind", "forward"),
         ls_cumulative=bool(hp_like.get("ls_cumulative", True)),
         ls_kernel=int(hp_like.get("ls_kernel", 31)),
+        eval_zoneout=bool(hp_like.get("eval_zoneout", False)),
         interpret=bool(interpret or FORCE_INTERPRET),
     )
     if _is_ls(cfg):

