@@ -630,3 +630,25 @@ def test_fused_teacher_fits_budget():
     assert not fused_teacher.fused_teacher_fits(
         batch=32, num_steps=1200, **flagship
     )
+
+
+def test_fused_teacher_max_batch():
+    """Block-size probe: over-budget batches get a smaller launch block
+    (teacher_decode then slices + accumulates via autodiff); 0 only when
+    even an 8-lane block cannot fit."""
+    flagship = dict(
+        src_len=128, feed_dim=80, dec_units=256,
+        mem_dims=512, key_dim=256, io_bytes=2, dual=True,
+    )
+    b = fused_teacher.fused_teacher_max_batch(num_steps=400, **flagship)
+    assert 8 <= b < 64  # 32 fits, 64 does not (see the fits test above)
+    assert fused_teacher.fused_teacher_fits(batch=b, num_steps=400, **flagship)
+    # the LS TAP scratch shrinks the feasible block
+    b_ls = fused_teacher.fused_teacher_max_batch(
+        num_steps=400, ls_taps=31, **flagship
+    )
+    assert b_ls <= b
+    # pathologically long scans: no feasible block at all → XLA fallback
+    assert fused_teacher.fused_teacher_max_batch(
+        num_steps=200_000, **flagship
+    ) == 0
