@@ -87,6 +87,14 @@ def run_train(tag: str, run_root: str, overrides: dict, steps: int,
     data_dir = os.path.join(run_dir, "data")
     list_dir = os.path.join(run_dir, "lists")
     ckpt_dir = os.path.join(run_dir, "checkpoints")
+    # short smoke runs (steps < cadence) must still log a loss trajectory
+    overrides = dict(
+        overrides,
+        save_summary_steps=str(min(int(overrides["save_summary_steps"]), steps)),
+        log_step_count_steps=str(
+            min(int(overrides["log_step_count_steps"]), steps)
+        ),
+    )
     hp = hp_obj(overrides)
     if not os.path.exists(os.path.join(list_dir, "train.lst")):
         generate_corpus(
@@ -285,8 +293,8 @@ def family_accent(run_root: str, out_dir: str, steps: int) -> dict:
     import jax
     import jax.numpy as jnp
 
-    overrides = dict(
-        COMMON, **FLAGSHIP,
+    overrides = dict(COMMON, **FLAGSHIP)
+    overrides.update(
         encoder="SelfAttentionCBHGEncoderWithAccentType",
         use_accent_type="true", num_accent_type="4",
         accent_type_offset="0", accent_type_embedding_dim="8",
@@ -428,7 +436,8 @@ def family_ls(run_root: str, out_dir: str, steps: int) -> dict:
 
     import jax
 
-    overrides = dict(COMMON, **FLAGSHIP, attention="location_sensitive")
+    overrides = dict(COMMON, **FLAGSHIP)
+    overrides.update(attention="location_sensitive")
     info = run_train("ls", run_root, overrides, steps, corpus_kw={})
     variables, step = restore_variables(info["ckpt_dir"])
     model = tacotron_model_factory(info["hp"])
