@@ -142,7 +142,12 @@ def main():
         if hparams.use_forced_alignment_mode:
             feed["target_lengths"] = batch["target_lengths"]
         out = predict(variables, feed, jax.random.fold_in(rng, index))
-        mels = np.asarray(out["mel"])
+        # Output heads: mel families predict {"mel"}; the MgcLf0/WORLD
+        # family predicts {"mgc", "lf0"} (SURVEY §2.1 WORLD decoder row).
+        # The primary head drives the comparison PNG; lf0 class logits are
+        # written as argmax bin indices (int32) alongside float32 mgc.
+        primary = "mel" if "mel" in out else "mgc"
+        mels = np.asarray(out[primary])
         lengths = np.asarray(out["lengths"])
         for i, utt_id in enumerate(batch["id"]):
             if utt_id in seen:  # padded tail of the last batch repeats ids
@@ -150,9 +155,20 @@ def main():
             seen.add(utt_id)
             n = int(lengths[i])
             mel = mels[i, :n]
-            mel.astype(np.float32).tofile(
-                os.path.join(args.output_dir, f"{utt_id}.{hparams.predicted_mel_extension}")
-            )
+            if primary == "mel":
+                mel.astype(np.float32).tofile(
+                    os.path.join(
+                        args.output_dir,
+                        f"{utt_id}.{hparams.predicted_mel_extension}",
+                    )
+                )
+            else:
+                mel.astype(np.float32).tofile(
+                    os.path.join(args.output_dir, f"{utt_id}.mgc")
+                )
+                np.argmax(np.asarray(out["lf0"])[i, :n], axis=-1).astype(
+                    np.int32
+                ).tofile(os.path.join(args.output_dir, f"{utt_id}.lf0"))
             aligns = [np.asarray(a[i]) for a in out["alignments"]]
             save_alignment_png(
                 aligns,
@@ -167,7 +183,9 @@ def main():
             )
             save_mel_comparison_png(
                 mel,
-                batch["mel"][i][: batch["target_lengths"][i]] if "mel" in batch else None,
+                batch[primary][i][: batch["target_lengths"][i]]
+                if primary in batch
+                else None,
                 os.path.join(args.output_dir, f"{utt_id}_mel.png"),
                 info=utt_id,
             )

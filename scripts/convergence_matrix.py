@@ -101,22 +101,36 @@ def run_train(tag: str, run_root: str, overrides: dict, steps: int,
             data_dir, hp, num_utterances=192, min_symbols=17, max_symbols=24,
             selected_list_dir=list_dir, **corpus_kw,
         )
-    hp_str = ",".join(f"{k}={v}" for k, v in overrides.items())
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    subprocess.run(
-        [
-            sys.executable, os.path.join(REPO, "train.py"),
-            f"--source-data-root={data_dir}",
-            f"--checkpoint-dir={ckpt_dir}",
-            f"--selected-list-dir={list_dir}",
-            "--selected-list-filename=train",
-            "--validation-list-filename=validation",
-            f"--steps={steps}",
-            f"--hparams={hp_str}",
-        ],
-        check=True, env=env, cwd=REPO,
-    )
+    # Idempotent re-score: Trainer.train counts --steps RELATIVE to the
+    # restored step, so re-invoking after a finished run would train
+    # `steps` more. When the checkpoint already covers the request, skip
+    # straight to scoring (lets inference-side fixes be re-evaluated
+    # against the same trained weights).
+    done = 0
+    if os.path.isdir(ckpt_dir):
+        import orbax.checkpoint as ocp
+
+        done = ocp.CheckpointManager(os.path.abspath(ckpt_dir)).latest_step() or 0
+    if done < steps:
+        hp_str = ",".join(f"{k}={v}" for k, v in overrides.items())
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        subprocess.run(
+            [
+                sys.executable, os.path.join(REPO, "train.py"),
+                f"--source-data-root={data_dir}",
+                f"--checkpoint-dir={ckpt_dir}",
+                f"--selected-list-dir={list_dir}",
+                "--selected-list-filename=train",
+                "--validation-list-filename=validation",
+                f"--steps={steps - done}",
+                f"--hparams={hp_str}",
+            ],
+            check=True, env=env, cwd=REPO,
+        )
+    else:
+        print(f"[matrix] {tag}: checkpoint at step {done} >= {steps}; "
+              "re-scoring without retraining", flush=True)
     losses = []
     with open(os.path.join(ckpt_dir, "log", "metrics.jsonl")) as f:
         for line in f:

@@ -6,7 +6,15 @@ Variants toggle the per-step stochastic work inside the decoder scan
 DEVICE time in one process (wall clock under-reports on this backend —
 block_until_ready returns early; see BASELINE.md).
 
-Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/profile_train_ablate.py [variants]
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/profile_train_ablate.py [specs]
+
+A spec is ``variant[:bNN][:fNNN]`` — e.g. ``full``, ``ls:b32``,
+``full:b64``, ``xla:b64:f800``. ``bNN`` overrides the batch (default 32),
+``fNNN`` the teacher-forced frame count (default 800). Round-4 rows:
+``ls`` trains the location-sensitive comparison family through the fused
+LS teacher kernel (VERDICT r3 missing #2); ``full:b64`` exercises the
+teacher kernel's sequential batch-block slicing (missing #3); ``xla:*``
+is the nn.scan fallback (use_pallas_kernels=false) for the same shapes.
 """
 
 from __future__ import annotations
@@ -37,6 +45,9 @@ B, SRC, FRAMES = 32, 128, 800
 
 VARIANTS = {
     "full": {},
+    "ls": dict(attention="location_sensitive"),
+    "xla": dict(use_pallas_kernels=False),
+    "ls_xla": dict(attention="location_sensitive", use_pallas_kernels=False),
     "no_zoneout": dict(zoneout_factor_cell=0.0, zoneout_factor_output=0.0),
     "no_dropout": dict(
         decoder_prenet_drop_rate=0.0,
@@ -57,16 +68,20 @@ def device_busy_ms(profile_dir: str) -> float:
     return sum(r["self_us"] or 0.0 for r in rows) / 1e3
 
 
-def build_step(hp):
+def build_step(hp, batch_size=B, frames=FRAMES):
     model = tacotron_model_factory(hp)
     net = model.network(is_training=True)
     rng = np.random.RandomState(0)
     batch = {
-        "source": jnp.asarray(rng.randint(2, hp.num_symbols, (B, SRC)), jnp.int32),
-        "source_lengths": jnp.full((B,), SRC, jnp.int32),
-        "mel": jnp.asarray(rng.rand(B, FRAMES, hp.num_mels), jnp.float32),
-        "target_lengths": jnp.full((B,), FRAMES, jnp.int32),
-        "done": jnp.zeros((B, FRAMES), jnp.float32),
+        "source": jnp.asarray(
+            rng.randint(2, hp.num_symbols, (batch_size, SRC)), jnp.int32
+        ),
+        "source_lengths": jnp.full((batch_size,), SRC, jnp.int32),
+        "mel": jnp.asarray(
+            rng.rand(batch_size, frames, hp.num_mels), jnp.float32
+        ),
+        "target_lengths": jnp.full((batch_size,), frames, jnp.int32),
+        "done": jnp.zeros((batch_size, frames), jnp.float32),
     }
     rngs = {
         "params": jax.random.PRNGKey(0),
@@ -112,18 +127,32 @@ def build_step(hp):
     return train_step, state, batch
 
 
+def parse_spec(spec: str):
+    parts = spec.split(":")
+    name, batch, frames = parts[0], B, FRAMES
+    for p in parts[1:]:
+        if p.startswith("b"):
+            batch = int(p[1:])
+        elif p.startswith("f"):
+            frames = int(p[1:])
+        else:
+            raise SystemExit(f"bad spec component {p!r} in {spec!r}")
+    return name, batch, frames
+
+
 def main():
-    names = sys.argv[1].split(",") if len(sys.argv) > 1 else list(VARIANTS)
+    specs = sys.argv[1].split(",") if len(sys.argv) > 1 else list(VARIANTS)
     results = {}
-    for name in names:
+    for spec in specs:
+        name, batch_size, frames = parse_spec(spec)
         hp = flagship_hparams()
         for k, v in VARIANTS[name].items():
             setattr(hp, k, v)
-        step, state, batch = build_step(hp)
+        step, state, batch = build_step(hp, batch_size, frames)
         key = jax.random.PRNGKey(5)
         state = step(state, batch, key)  # compile + warm
         jax.block_until_ready(state.params)
-        pdir = f"/tmp/prof_train_{name}"
+        pdir = f"/tmp/prof_train_{spec.replace(':', '_')}"
         os.system(f"rm -rf {pdir}")
         with jax.profiler.trace(pdir):
             state = step(state, batch, jax.random.fold_in(key, 1))
@@ -131,10 +160,12 @@ def main():
         # hard materialization so the traced step really finished
         _ = float(jax.tree.leaves(state.params)[0].sum())
         ms = device_busy_ms(pdir)
-        results[name] = round(ms, 3)
-        n_steps = FRAMES // hp.outputs_per_step
-        print(f"[{name}] device_busy={ms:.2f} ms "
-              f"({ms * 1e3 / n_steps:.1f} us/decoder-step)", file=sys.stderr)
+        results[spec] = round(ms, 3)
+        n_steps = frames // hp.outputs_per_step
+        fps = batch_size * frames / (ms / 1e3)
+        print(f"[{spec}] device_busy={ms:.2f} ms "
+              f"({ms * 1e3 / n_steps:.1f} us/decoder-step, "
+              f"{fps / 1e6:.2f} M frames/s)", file=sys.stderr)
     print(json.dumps({"device_busy_ms": results}))
 
 

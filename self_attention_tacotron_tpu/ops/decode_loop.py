@@ -105,8 +105,20 @@ def decode_incrementally(
         lengths = jnp.where(newly, t * r + first_fire + 1, c["lengths"])
         finished = c["finished"] | fired
 
-        # feed back the last n_feed_frame predicted frames (all heads concat)
-        block = jnp.concatenate([frames[h] for h, _ in head_dims.items()], axis=-1)
+        # Feed back the last n_feed_frame predicted frames (all heads
+        # concat). Classification heads (lf0) feed back SOFTMAX
+        # probabilities: training teacher-feeds one-hot rows
+        # (trainer.targets_from_batch), so the free-running feed must live
+        # in the same [0,1] simplex domain — raw logit scale diverges from
+        # everything the prenet saw in training (round-4 convergence
+        # matrix: held-out lf0 accuracy at chance before this fix).
+        block = jnp.concatenate(
+            [
+                jax.nn.softmax(frames[h], axis=-1) if h == "lf0" else frames[h]
+                for h, _ in head_dims.items()
+            ],
+            axis=-1,
+        )
         feed = block[:, r - n_feed_frame :, :].reshape(batch, -1)
 
         return dict(

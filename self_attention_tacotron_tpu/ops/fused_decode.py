@@ -241,6 +241,9 @@ def _make_kernel(cfg: Dict[str, Any]):
     src1_kind = cfg.get("src1_kind", "forward")
     ls_cumulative = cfg.get("ls_cumulative", True)
     LSK = cfg.get("ls_kernel", 31)      # location conv width
+    # MgcLf0 family: frame lanes [LF0_SPLIT, M) are lf0 class logits whose
+    # FEEDBACK must be softmaxed to the trained one-hot domain (0 = mel)
+    LF0_SPLIT = cfg.get("lf0_split", 0)
     n_src = 2 if dual else 1
     out_width = R * M + R
     # DMA'd row slices need 128-aligned trailing dims (Mosaic tiling)
@@ -627,7 +630,22 @@ def _make_kernel(cfg: Dict[str, Any]):
             lengths = jnp.where(newly, t * R + first + 1, lengths)
             finished = jnp.maximum(finished, fired.astype(jnp.float32))
 
-            feed = out[:, (R - 1) * M : R * M].astype(io_dtype)
+            feed = out[:, (R - 1) * M : R * M]
+            if LF0_SPLIT:
+                # MgcLf0 family: the lf0 lanes of the feedback frame carry
+                # CLASS LOGITS, but training teacher-feeds ONE-HOT rows
+                # (trainer.targets_from_batch) — feed back softmax
+                # probabilities so the free-running prenet input stays in
+                # the trained [0,1] simplex domain. Branch-free lane-mask
+                # softmax (no odd-width lane concat for Mosaic).
+                lane = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
+                is_lf0 = lane >= LF0_SPLIT
+                mx = jnp.max(
+                    jnp.where(is_lf0, feed, -jnp.inf), axis=-1, keepdims=True
+                )
+                e = jnp.where(is_lf0, jnp.exp(feed - mx), 0.0)
+                feed = jnp.where(is_lf0, e / jnp.sum(e, axis=-1, keepdims=True), feed)
+            feed = feed.astype(io_dtype)
 
             return (
                 t + 1, feed, c_att, h_att, c1, h1, c2, h2,
@@ -941,7 +959,7 @@ def fused_decode(
 
     spk = cond.speaker_embed
     spk_dim = 0 if spk is None else int(spk.shape[-1])
-    dual, use_sa, _ = _decoder_flags(hp.decoder)
+    dual, use_sa, is_mgc_lf0 = _decoder_flags(hp.decoder)
     heads = output_heads_for(hp)
     out_dim = sum(d for _, d in heads)
     src1_kind = (
@@ -957,6 +975,7 @@ def fused_decode(
         max_iters=max_iters,
         r=hp.outputs_per_step,
         out_dim=out_dim,
+        lf0_split=hp.num_mgcs if is_mgc_lf0 else 0,
         src1_kind=src1_kind,
         ls_cumulative=bool(hp.cumulative_weights),
         ls_kernel=hp.attention_kernel,

@@ -76,3 +76,64 @@ def test_alignment_history_recorded():
     assert a.shape == (3, 6, 5)
     np.testing.assert_allclose(a[:, :2].sum(-1), 1.0, atol=1e-6)
     np.testing.assert_allclose(a[:, 2:], 0.0)
+
+
+def test_lf0_feedback_is_softmaxed_to_training_domain():
+    """Classification (lf0) heads feed back probabilities, not logits.
+
+    Training teacher-feeds one-hot lf0 rows (trainer.targets_from_batch);
+    the free-running feed must live in the same [0,1] simplex domain or
+    synthesis diverges from everything the prenet saw (round-4 convergence
+    matrix caught this: held-out lf0 accuracy at chance). The STORED output
+    frames stay raw logits (losses/argmax consumers expect them).
+
+    The stub ECHOES the tail of each step's incoming feed into the "mgc"
+    head, so the lf0 slice of the feed the loop actually constructed is
+    observable in the output buffers one step later.
+    """
+    batch, r, n_mgc, n_lf0, max_iters = 2, 2, 3, 4, 3
+    feed_dim = n_mgc + n_lf0
+
+    lf0_logits = jnp.asarray([[5.0, -3.0, 0.5, 2.0]] * batch)
+
+    def step_fn(state, feed, step_index):
+        return state + 1, feed, (jnp.ones((batch, 5)) / 5.0,)
+
+    def post_step_fn(feature, caches, t):
+        # feature == the incoming feed; echo its LAST n_mgc lanes (= the
+        # tail of the feed's lf0 slice) as this step's mgc output
+        frames = {
+            "mgc": jnp.broadcast_to(
+                feature[:, None, -n_mgc:], (batch, r, n_mgc)
+            ),
+            "lf0": jnp.broadcast_to(lf0_logits[:, None, :], (batch, r, n_lf0)),
+        }
+        stop_logits = jnp.full((batch, r), -10.0)
+        return frames, stop_logits, caches
+
+    res = decode_incrementally(
+        step_fn=step_fn,
+        post_step_fn=post_step_fn,
+        init_state=jnp.zeros((), jnp.int32),
+        init_caches=(),
+        go_frame=jnp.zeros((batch, feed_dim)),
+        src_shapes=(5,),
+        head_dims={"mgc": n_mgc, "lf0": n_lf0},
+        batch=batch,
+        max_iters=max_iters,
+        outputs_per_step=r,
+        n_feed_frame=1,
+        stop_threshold=0.5,
+    )
+    # decode step 1's echo reveals the feed built at step 0: its last
+    # n_mgc lanes are the tail of softmax(lf0_logits), NOT the raw logits
+    echoed_tail = np.asarray(res.frames["mgc"][0, r])  # step 1, frame 0
+    np.testing.assert_allclose(
+        echoed_tail,
+        np.asarray(jax.nn.softmax(lf0_logits[0]))[-n_mgc:],
+        atol=1e-6,
+    )
+    # stored lf0 output frames remain raw logits
+    np.testing.assert_allclose(
+        np.asarray(res.frames["lf0"][0, 0]), np.asarray(lf0_logits[0])
+    )
