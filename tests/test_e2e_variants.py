@@ -46,6 +46,24 @@ def test_mgclf0_train_smoke(tmp_path):
     assert np.isfinite(last["loss"])
     assert "mgc_loss" in last and "lf0_loss" in last
 
+    # free-running synthesis exposes the WORLD heads (predict_mel.py
+    # writes float32 .mgc + argmax .lf0 from exactly these outputs)
+    predict = make_predict_fn(model)
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    batch = next(iter(data.batches(4, shuffle=False, repeat=False, prefetch=0)))
+    out = predict(
+        variables,
+        {"source": jnp.asarray(batch["source"]),
+         "source_lengths": jnp.asarray(batch["source_lengths"])},
+        jax.random.PRNGKey(0),
+    )
+    assert out["mgc"].shape[-1] == hp.num_mgcs
+    assert out["lf0"].shape[-1] == hp.num_lf0s
+    assert "mel" not in out
+    assert np.isfinite(np.asarray(out["mgc"])).all()
+
 
 def test_forced_alignment_predict():
     """use_forced_alignment_mode: diagonal teacher-forcing attention."""
