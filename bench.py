@@ -74,6 +74,36 @@ def measure_cpu_baseline_subprocess(timeout_s: float = 900.0):
     return CPU_BASELINE_FRAMES_PER_SEC, "fallback_constant"
 
 
+def _probe_backend(timeout_s: float = 180.0):
+    """Bounded first-touch of the default backend.
+
+    Returns None when a trivial computation answers within the bound,
+    else a failure description. Runs in a daemon thread because a dead
+    relay makes backend init BLOCK (observed ~20 min) rather than raise
+    promptly.
+    """
+    import threading
+
+    result = {}
+
+    def _touch():
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            jax.devices()
+            result["ok"] = float(jnp.ones((4, 4)).sum()) == 16.0
+        except Exception as e:  # UNAVAILABLE, plugin errors, ...
+            result["error"] = repr(e)
+
+    t = threading.Thread(target=_touch, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if result.get("ok"):
+        return None
+    return result.get("error", f"probe timed out after {timeout_s:.0f}s")
+
+
 def flagship_hparams():
     from self_attention_tacotron_tpu.hparams import HParams
 
@@ -707,6 +737,20 @@ def main():
         from self_attention_tacotron_tpu.utils.platform import apply_platform_override
 
         apply_platform_override()
+        # The relay behind the axon backend can be unreachable for hours;
+        # backend init then blocks ~20 min before raising. Probe with a
+        # bound so an outage yields the contractual ONE JSON line fast
+        # instead of a late traceback.
+        err = _probe_backend()
+        if err is not None:
+            print(json.dumps({
+                "metric": "mel_frames_per_sec_per_chip",
+                "value": None,
+                "unit": "frames/s",
+                "vs_baseline": None,
+                "error": f"backend_unavailable: {err}",
+            }))
+            return 2
 
     if args.serve:
         result = run_serve_bench(
@@ -847,4 +891,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main() or 0)
