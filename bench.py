@@ -36,11 +36,16 @@ CPU_BASELINE_FRAMES_PER_SEC = 6531.4
 
 def measure_cpu_baseline_subprocess(timeout_s: float = 900.0):
     """Fresh CPU stand-in denominator: run THIS script with
-    --measure-cpu-baseline in a subprocess (JAX_PLATFORMS must be set
-    before the interpreter starts — the axon sitecustomize pre-imports
-    jax, so in-process reconfiguration cannot switch an already-
-    initialized TPU client back to CPU). Returns (frames_per_sec, source)
-    where source is "measured" or "fallback_constant"."""
+    --measure-cpu-baseline in a subprocess.
+
+    The mechanism that actually selects CPU is the flag's early
+    ``jax.config.update("jax_platforms", "cpu")`` in main() — measured:
+    the axon sitecustomize pins the platform at interpreter start, so the
+    ``JAX_PLATFORMS`` env var alone is IGNORED (kept below only as
+    defense in depth should the sitecustomize change). A fresh process is
+    still required because this one's jax is already initialized on the
+    TPU backend. Returns (frames_per_sec, source) where source is
+    "measured" or "fallback_constant"."""
     import os
     import subprocess
 
@@ -746,7 +751,7 @@ def main():
             print(json.dumps({
                 "metric": "mel_frames_per_sec_per_chip",
                 "value": None,
-                "unit": "frames/s",
+                "unit": "frames/sec",
                 "vs_baseline": None,
                 "error": f"backend_unavailable: {err}",
             }))

@@ -149,6 +149,7 @@ def main():
         primary = "mel" if "mel" in out else "mgc"
         mels = np.asarray(out[primary])
         lengths = np.asarray(out["lengths"])
+        lf0 = np.asarray(out["lf0"]) if "lf0" in out else None
         for i, utt_id in enumerate(batch["id"]):
             if utt_id in seen:  # padded tail of the last batch repeats ids
                 continue
@@ -166,9 +167,9 @@ def main():
                 mel.astype(np.float32).tofile(
                     os.path.join(args.output_dir, f"{utt_id}.mgc")
                 )
-                np.argmax(np.asarray(out["lf0"])[i, :n], axis=-1).astype(
-                    np.int32
-                ).tofile(os.path.join(args.output_dir, f"{utt_id}.lf0"))
+                np.argmax(lf0[i, :n], axis=-1).astype(np.int32).tofile(
+                    os.path.join(args.output_dir, f"{utt_id}.lf0")
+                )
             aligns = [np.asarray(a[i]) for a in out["alignments"]]
             save_alignment_png(
                 aligns,

@@ -265,7 +265,7 @@ def family_speaker(run_root: str, out_dir: str, steps: int) -> dict:
             n = int(out["lengths"][i])
             if n >= 4:
                 cents.append(mel_centroid(np.asarray(out["mel"][i, :n])))
-        pred_cent[spk] = float(np.mean(cents))
+        pred_cent[spk] = float(np.mean(cents)) if cents else float("nan")
         if ids:
             n = int(out["lengths"][0])
             mels_for_png.append(np.asarray(out["mel"][0, : max(n, 4)]))
@@ -283,10 +283,19 @@ def family_speaker(run_root: str, out_dir: str, steps: int) -> dict:
     order_ok = all(
         pred_cent[k + 1] > pred_cent[k] for k in range(3)
     )
-    corr = float(np.corrcoef(
-        [pred_cent[k] for k in sorted(pred_cent)],
-        [true_cent[k] for k in sorted(pred_cent)],
-    )[0, 1])
+    # the 8 sampled validation utterances need not cover all 4 speakers:
+    # correlate only over speakers with a training statistic (a 2-point
+    # correlation is weak evidence, so also require coverage ≥ 3)
+    common = [k for k in sorted(pred_cent) if k in true_cent
+              and np.isfinite(pred_cent[k])]
+    corr = (
+        float(np.corrcoef(
+            [pred_cent[k] for k in common],
+            [true_cent[k] for k in common],
+        )[0, 1])
+        if len(common) >= 3
+        else float("nan")
+    )
     first, last = info["losses"][0][1]["loss"], info["losses"][-1][1]["loss"]
     return dict(
         family="speaker", steps=steps, checkpoint_step=step,

@@ -85,7 +85,32 @@ def generate(data_dir: str, list_dir: str, num_utterances: int,
         max_symbols=max_symbols,
         selected_list_dir=list_dir,
     )
+    with open(os.path.join(list_dir, "corpus_meta.json"), "w") as f:
+        json.dump(dict(num_utterances=num_utterances,
+                       min_symbols=min_symbols, max_symbols=max_symbols), f)
     print(f"[convergence] generated {len(ids)} utterances in {data_dir}")
+
+
+def check_corpus_matches(list_dir: str, num_utterances: int,
+                         min_symbols: int, max_symbols: int) -> None:
+    """Refuse to silently reuse a corpus generated with other parameters.
+
+    Generation is skipped whenever train.lst exists, so e.g. ``--long`` in
+    a run dir that already holds the 17–24-symbol corpus would otherwise
+    train short utterances while reporting itself as the long-utterance
+    evidence run."""
+    meta_path = os.path.join(list_dir, "corpus_meta.json")
+    want = dict(num_utterances=num_utterances,
+                min_symbols=min_symbols, max_symbols=max_symbols)
+    have = json.load(open(meta_path)) if os.path.exists(meta_path) else None
+    if have != want:
+        raise SystemExit(
+            f"[convergence] existing corpus in {list_dir} was generated "
+            f"with {have}, but this invocation wants {want}; use a fresh "
+            "--run-dir (or delete the corpus, or pass --skip-generate to "
+            "explicitly reuse it) instead of silently training on "
+            "mismatched data"
+        )
 
 
 def run_cli(script: str, *cli_args: str) -> None:
@@ -285,6 +310,9 @@ def main():
     ):
         generate(data_dir, list_dir, args.num_utterances,
                  min_symbols=args.min_symbols, max_symbols=args.max_symbols)
+    elif not args.skip_generate:
+        check_corpus_matches(list_dir, args.num_utterances,
+                             args.min_symbols, args.max_symbols)
 
     if not args.skip_train:
         os.makedirs(ckpt_dir, exist_ok=True)

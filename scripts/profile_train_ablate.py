@@ -162,10 +162,13 @@ def main():
         ms = device_busy_ms(pdir)
         results[spec] = round(ms, 3)
         n_steps = frames // hp.outputs_per_step
-        fps = batch_size * frames / (ms / 1e3)
-        print(f"[{spec}] device_busy={ms:.2f} ms "
-              f"({ms * 1e3 / n_steps:.1f} us/decoder-step, "
-              f"{fps / 1e6:.2f} M frames/s)", file=sys.stderr)
+        if ms > 0:
+            fps = batch_size * frames / (ms / 1e3)
+            print(f"[{spec}] device_busy={ms:.2f} ms "
+                  f"({ms * 1e3 / n_steps:.1f} us/decoder-step, "
+                  f"{fps / 1e6:.2f} M frames/s)", file=sys.stderr)
+        else:  # empty xplane capture — keep the other variants' results
+            print(f"[{spec}] EMPTY device capture", file=sys.stderr)
     print(json.dumps({"device_busy_ms": results}))
 
 

@@ -74,7 +74,12 @@ def _accent_is_high(hp: HParams, accent_id: int) -> bool:
 
 
 def _world_features(
-    mel: np.ndarray, text_ids: np.ndarray, hp: HParams
+    mel: np.ndarray,
+    text_ids: np.ndarray,
+    hp: HParams,
+    *,
+    speaker: int = 0,
+    accent: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Learnable WORLD-feature stand-ins derived from the actual audio.
 
@@ -93,8 +98,25 @@ def _world_features(
         (np.arange(n_frames) / frames_per_symbol).astype(np.int64),
         len(text_ids) - 1,
     )
-    freqs = np.asarray([_symbol_freq(int(s)) for s in text_ids], np.float64)
-    fmin, fmax = 100.0, 800.0
+    # MUST mirror _synthetic_wav's per-symbol frequency exactly — the lf0
+    # labels describe the audio, so speaker register and accent doubling
+    # apply here too (they previously defaulted to speaker 0 / no accent,
+    # mislabeling multi-speaker or accented MgcLf0 corpora).
+    freqs = np.asarray(
+        [
+            _symbol_freq(
+                int(s),
+                speaker,
+                accent is not None and _accent_is_high(hp, int(accent[j])),
+            )
+            for j, s in enumerate(text_ids)
+        ],
+        np.float64,
+    )
+    # log-quantization bounds cover the full realizable range: base
+    # 110–742.5 Hz × 1.35^speaker (≤3 with the 4-speaker recipes) × 2
+    # accent doubling ≈ 3.65 kHz ceiling
+    fmin, fmax = 100.0, 3700.0
     rel = (np.log(freqs[sym_idx]) - np.log(fmin)) / (np.log(fmax) - np.log(fmin))
     lf0 = np.clip(
         (rel * (hp.num_lf0s - 1)).round(), 0, hp.num_lf0s - 1
@@ -153,7 +175,9 @@ def generate_corpus(
         )
         mgc = lf0 = None
         if "MgcLf0" in hparams.tacotron_model or "MgcLf0" in hparams.decoder:
-            mgc, lf0 = _world_features(mel, source, hparams)
+            mgc, lf0 = _world_features(
+                mel, source, hparams, speaker=speaker, accent=accent
+            )
         write_target_tfrecord(
             os.path.join(out_dir, f"{utt_id}.{hparams.target_file_extension}"),
             TargetData(

@@ -979,7 +979,6 @@ def fused_decode(
         src1_kind=src1_kind,
         ls_cumulative=bool(hp.cumulative_weights),
         ls_kernel=hp.attention_kernel,
-        ls_filters=hp.attention_filters,
         prenet_units=tuple(hp.decoder_prenet_out_units),
         att_units=hp.attention_out_units,
         att1_units=hp.attention1_out_units,
