@@ -24,6 +24,9 @@ ignored by the optimizer:
 * ``ls``       (location-sensitive attention comparison family): trains
   through the FUSED LS teacher kernel (round-4 extension). Evidence: loss
   falls and a monotonic-diagonal alignment emerges (diagonality score).
+* ``postnet``  (linear-spectrogram PostCBHG): linear loss falls, held-out
+  spec beats a mean-spectrum predictor 2×, Griffin-Lim reconstructs a
+  finite waveform.
 
 Artifacts land in --out-dir (default artifacts/convergence_r4): one
 matrix.json + one compact PNG per family; no checkpoints are committed.
@@ -505,15 +508,100 @@ def family_ls(run_root: str, out_dir: str, steps: int) -> dict:
     )
 
 
+def family_postnet(run_root: str, out_dir: str, steps: int) -> dict:
+    """Linear-spectrogram PostCBHG: linear loss falls, held-out spec
+    tracks ground truth, Griffin-Lim reconstructs a finite waveform.
+
+    The postnet config previously had only 4-step loss smokes
+    (test_e2e_variants); this run shows the linear head actually LEARNS
+    the spectrogram rather than being carried dead weight."""
+    from self_attention_tacotron_tpu.audio import Audio
+    from self_attention_tacotron_tpu.models.models import tacotron_model_factory
+    from self_attention_tacotron_tpu.synthesis import make_predict_fn
+
+    import jax
+
+    overrides = dict(COMMON, **FLAGSHIP)
+    # default num_freq=1025 (n_fft 2048): the 50 ms analysis window needs
+    # n_fft >= 1102 samples, so the "cheaper" 513-bin option is invalid
+    overrides.update(use_linear_spectrogram_postnet="true")
+    info = run_train("postnet", run_root, overrides, steps, corpus_kw={})
+    variables, step = restore_variables(info["ckpt_dir"])
+    model = tacotron_model_factory(info["hp"])
+    predict = make_predict_fn(model)
+    ids, srcs, tgts, batch = load_val_batch(info, n=8)
+    out = predict(variables, batch, jax.random.PRNGKey(0))
+
+    hp = info["hp"]
+    spec_mses, true_frames = [], []
+    for i, t in enumerate(tgts):
+        n = min(int(out["lengths"][i]), int(t.target_length))
+        if n < 4 or t.spec is None:
+            continue
+        pred = np.asarray(out["linear"][i, :n], np.float32)
+        true = t.spec[:n]
+        spec_mses.append(float(np.mean((pred - true) ** 2)))
+        true_frames.append(true)
+    # skill floor: a text-blind predictor emitting the GLOBAL mean
+    # spectrum of the held-out frames (a per-utterance mean would be an
+    # oracle — unfairly strong on stationary per-symbol tones)
+    allf = np.concatenate(true_frames) if true_frames else np.zeros((1, 1))
+    mean_mse = float(np.mean((allf - allf.mean(0, keepdims=True)) ** 2))
+    audio = Audio(hp)
+    n0 = max(int(out["lengths"][0]), 4)
+    wav = audio.inv_spectrogram(np.asarray(out["linear"][0, :n0], np.float32))
+    wav_ok = bool(np.isfinite(wav).all() and float(np.abs(wav).max()) > 1e-4)
+
+    loss_recs = [r for _, r in info["losses"] if "linear_loss" in r]
+    first_lin = loss_recs[0]["linear_loss"]
+    last_lin = loss_recs[-1]["linear_loss"]
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(2, 1, figsize=(8, 5))
+    n = min(int(out["lengths"][0]), int(tgts[0].target_length))
+    axes[0].imshow(np.asarray(out["linear"][0, :n], np.float32).T,
+                   origin="lower", aspect="auto", interpolation="nearest")
+    axes[0].set_title(f"{ids[0]} predicted linear (step {step})", fontsize=8)
+    axes[1].imshow(tgts[0].spec[:n].T, origin="lower", aspect="auto",
+                   interpolation="nearest")
+    axes[1].set_title("ground truth", fontsize=8)
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, "postnet_linear.png"), dpi=110)
+    plt.close(fig)
+    first, last = info["losses"][0][1]["loss"], info["losses"][-1][1]["loss"]
+    spec_mse = float(np.mean(spec_mses)) if spec_mses else float("nan")
+    return dict(
+        family="postnet", steps=steps, checkpoint_step=step,
+        first_loss=first, final_loss=last,
+        first_linear_loss=first_lin, final_linear_loss=last_lin,
+        heldout_spec_mse=spec_mse,
+        mean_predictor_spec_mse=mean_mse,
+        griffin_lim_wav_finite=wav_ok,
+        ok=bool(
+            last_lin < first_lin
+            and spec_mse < 0.5 * mean_mse
+            and wav_ok
+        ),
+    )
+
+
 FAMILIES = dict(
     speaker=family_speaker, accent=family_accent,
-    mgclf0=family_mgclf0, ls=family_ls,
+    mgclf0=family_mgclf0, ls=family_ls, postnet=family_postnet,
 )
 
 
 def main():
+    # honor SATT_PLATFORM=cpu for wiring smokes (the in-process scoring
+    # otherwise initializes the axon backend on import-time first touch)
+    from self_attention_tacotron_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--families", default="speaker,accent,mgclf0,ls")
+    p.add_argument("--families", default="speaker,accent,mgclf0,ls,postnet")
     p.add_argument("--steps", type=int, default=1500)
     p.add_argument("--run-root", default=os.path.join(REPO, "runs", "matrix"))
     p.add_argument("--out-dir",

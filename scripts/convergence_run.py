@@ -265,6 +265,12 @@ def score_predictions(data_dir: str, list_dir: str, pred_dir: str) -> dict:
 
 
 def main():
+    # honor SATT_PLATFORM=cpu for wiring smokes (in-process scoring would
+    # otherwise initialize the axon backend)
+    sys.path.insert(0, REPO)
+    from self_attention_tacotron_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--run-dir", default=os.path.join(REPO, "runs", "convergence"))
     p.add_argument("--steps", type=int, default=8000)
