@@ -48,6 +48,11 @@ sys.path.insert(0, REPO)
 
 import numpy as np
 
+# --hparams-extra overrides merged LAST into every family's hparams (used
+# by run_train AND the in-process scoring model) — e.g. shrunken dims for
+# a CPU fallback evidence run during a TPU outage
+EXTRA: dict = {}
+
 COMMON = dict(
     dataset="synthetic",
     compute_dtype="bfloat16",
@@ -97,6 +102,7 @@ def run_train(tag: str, run_root: str, overrides: dict, steps: int,
         log_step_count_steps=str(
             min(int(overrides["log_step_count_steps"]), steps)
         ),
+        **EXTRA,
     )
     hp = hp_obj(overrides)
     if not os.path.exists(os.path.join(list_dir, "train.lst")):
@@ -603,10 +609,19 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--families", default="speaker,accent,mgclf0,ls,postnet")
     p.add_argument("--steps", type=int, default=1500)
+    p.add_argument("--hparams-extra", default="",
+                   help="comma-separated k=v overrides merged last into "
+                        "every family (e.g. shrunken dims for a CPU "
+                        "fallback evidence run)")
     p.add_argument("--run-root", default=os.path.join(REPO, "runs", "matrix"))
     p.add_argument("--out-dir",
                    default=os.path.join(REPO, "artifacts", "convergence_r4"))
     args = p.parse_args()
+    EXTRA.update(
+        kv.split("=", 1)
+        for kv in args.hparams_extra.split(",")
+        if "=" in kv
+    )
     os.makedirs(args.out_dir, exist_ok=True)
 
     matrix_path = os.path.join(args.out_dir, "matrix.json")
