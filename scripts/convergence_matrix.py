@@ -211,6 +211,41 @@ def load_val_batch(info, n=8, with_accent=False):
     return ids, srcs, tgts, batch
 
 
+def provenance(hp) -> dict:
+    """Machine-readable run provenance (VERDICT r4 weak #2/#6): which
+    platform and decode path actually produced the evidence, at which
+    capacity. The fused teacher kernel is gated off on CPU
+    (decoders.py _fused_teacher_supported), so decode_path derives from
+    the live backend, never from intent."""
+    import jax
+
+    platform = jax.default_backend()
+    return dict(
+        platform=platform,
+        decode_path="fused_kernel" if platform != "cpu" else "xla_scan_cpu_fallback",
+        dims={
+            k: getattr(hp, k)
+            for k in (
+                "encoder_out_units", "cbhg_out_units", "attention_out_units",
+                "attention1_out_units", "attention2_out_units",
+                "decoder_out_units", "self_attention_out_units",
+                "embedding_dim", "num_mels", "batch_size", "outputs_per_step",
+            )
+        },
+        extra_overrides=dict(EXTRA),
+    )
+
+
+def decode_path_label() -> str:
+    """Honest plot-title label for the decode path (VERDICT r4 weak #2)."""
+    import jax
+
+    return (
+        "fused teacher kernel" if jax.default_backend() != "cpu"
+        else "XLA scan, CPU fallback"
+    )
+
+
 def mel_centroid(mel: np.ndarray) -> float:
     """Energy-weighted mean mel-bin index — the register statistic."""
     w = np.maximum(mel - mel.min(), 0.0) ** 2
@@ -306,14 +341,29 @@ def family_speaker(run_root: str, out_dir: str, steps: int) -> dict:
         else float("nan")
     )
     first, last = info["losses"][0][1]["loss"], info["losses"][-1][1]["loss"]
+    # magnitude criterion (VERDICT r4 weak #4): order + correlation alone
+    # can pass with a ~2× compressed register span (conditioning present
+    # but under-expressed); require the predicted centroid range to cover
+    # >= 60% of the training-statistic range too
+    pred_vals = [pred_cent[k] for k in common]
+    true_vals = [true_cent[k] for k in common]
+    range_ratio = (
+        (max(pred_vals) - min(pred_vals)) / (max(true_vals) - min(true_vals))
+        if len(common) >= 2 and max(true_vals) > min(true_vals)
+        else float("nan")
+    )
     return dict(
         family="speaker", steps=steps, checkpoint_step=step,
+        provenance=provenance(info["hp"]),
         first_loss=first, final_loss=last,
         predicted_centroid_by_speaker=pred_cent,
         training_centroid_by_speaker=true_cent,
         register_order_monotonic=bool(order_ok),
         centroid_correlation=corr,
-        ok=bool(order_ok and corr > 0.9 and last < first),
+        centroid_range_ratio=range_ratio,
+        ok=bool(
+            order_ok and corr > 0.9 and range_ratio >= 0.6 and last < first
+        ),
     )
 
 
@@ -362,6 +412,7 @@ def family_accent(run_root: str, out_dir: str, steps: int) -> dict:
     first, last = info["losses"][0][1]["loss"], info["losses"][-1][1]["loss"]
     return dict(
         family="accent", steps=steps, checkpoint_step=step,
+        provenance=provenance(info["hp"]),
         first_loss=first, final_loss=last,
         centroid_all_low=results["low"], centroid_all_high=results["high"],
         high_minus_low=results["high"] - results["low"],
@@ -417,6 +468,7 @@ def family_mgclf0(run_root: str, out_dir: str, steps: int) -> dict:
     acc = float(np.mean(accs))
     result = dict(
         family="mgclf0", steps=steps, checkpoint_step=step,
+        provenance=provenance(info["hp"]),
         first_loss=first["loss"], final_loss=last["loss"],
         first_mgc_loss=first.get("mgc_loss"), final_mgc_loss=last.get("mgc_loss"),
         first_lf0_loss=first.get("lf0_loss"), final_lf0_loss=last.get("lf0_loss"),
@@ -501,13 +553,16 @@ def family_ls(run_root: str, out_dir: str, steps: int) -> dict:
             origin="lower", aspect="auto", interpolation="nearest",
         )
         ax.set_title(f"{ids[i]}: diagonality {diags[i]:.2f}", fontsize=8)
-    fig.suptitle(f"location-sensitive alignments (fused training, step {step})")
+    fig.suptitle(
+        f"location-sensitive alignments ({decode_path_label()}, step {step})"
+    )
     fig.tight_layout()
     fig.savefig(os.path.join(out_dir, "ls_alignments.png"), dpi=110)
     plt.close(fig)
     first, last = info["losses"][0][1]["loss"], info["losses"][-1][1]["loss"]
     return dict(
         family="ls", steps=steps, checkpoint_step=step,
+        provenance=provenance(info["hp"]),
         first_loss=first, final_loss=last,
         median_diagonality=float(np.median(diags)),
         ok=bool(np.median(diags) > 0.8 and last < first),
@@ -581,6 +636,7 @@ def family_postnet(run_root: str, out_dir: str, steps: int) -> dict:
     spec_mse = float(np.mean(spec_mses)) if spec_mses else float("nan")
     return dict(
         family="postnet", steps=steps, checkpoint_step=step,
+        provenance=provenance(info["hp"]),
         first_loss=first, final_loss=last,
         first_linear_loss=first_lin, final_linear_loss=last_lin,
         heldout_spec_mse=spec_mse,

@@ -1,0 +1,57 @@
+#!/bin/bash
+# Round-5 measurement drain (VERDICT r4 "Next round" items 1-4), priority
+# order. Every step logs to runs/drain_r5/<step>.log and failures don't
+# stop the queue; a summary of exit codes prints at the end. Run it the
+# moment the TPU relay answers:
+#   bash scripts/drain_r5.sh            # stage 1: gates + benches (~20 min)
+#   bash scripts/drain_r5.sh matrix     # stage 2: convergence matrix runs
+#   bash scripts/drain_r5.sh long      # stage 3: long-utterance fine-tune
+set -u
+export PYTHONPATH=/root/repo:/root/.axon_site
+cd /root/repo
+OUT=runs/drain_r5
+mkdir -p "$OUT"
+SUMMARY="$OUT/summary.txt"
+
+run() {
+  local name=$1 t=$2; shift 2
+  echo "=== $name start $(date -u +%H:%M:%SZ): $*" | tee -a "$SUMMARY"
+  timeout "$t" "$@" > "$OUT/$name.log" 2>&1
+  local rc=$?
+  echo "=== $name rc=$rc end $(date -u +%H:%M:%SZ)" | tee -a "$SUMMARY"
+  tail -2 "$OUT/$name.log"
+}
+
+stage=${1:-gates}
+
+case "$stage" in
+gates)
+  # cheap correctness gates first — do not trust bench numbers from
+  # kernels that have never passed on-device parity post-change
+  run parity 1200 python scripts/tpu_parity.py
+  run parity_train 1800 python scripts/tpu_parity.py --train
+  # headline + training bench (device-time xplane capture in-run)
+  run bench 1800 python bench.py
+  run bench_train 1800 python bench.py --train
+  # training ablation rows: LS family + batch-block (64/128) coverage
+  run ablate 2400 python scripts/profile_train_ablate.py \
+    full,ls,full:b64,full:b128,ls:b64
+  ;;
+matrix)
+  # mgclf0: idempotent re-score of the SAME r4 checkpoint post lf0-fix;
+  # ls + postnet: full-size trained runs through the fused kernels;
+  # speaker: re-scored under the new range criterion (trains further only
+  # if the checkpoint is behind --steps)
+  run matrix 14400 python scripts/convergence_matrix.py \
+    --families mgclf0,ls,postnet,speaker,accent --steps 2500 \
+    --run-root runs/matrix --out-dir artifacts/convergence_r5
+  ;;
+long)
+  run long_finetune 7200 python scripts/convergence_run.py --long \
+    --restore-from runs/convergence/checkpoints --steps 2000 \
+    --run-dir runs/convergence_long
+  ;;
+*)
+  echo "unknown stage: $stage (gates|matrix|long)"; exit 2 ;;
+esac
+echo "--- summary ---"; cat "$SUMMARY"

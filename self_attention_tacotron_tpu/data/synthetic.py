@@ -42,7 +42,11 @@ def _symbol_freq(sym: int, speaker: int = 0, accent_high: bool = False) -> float
       must consume the accent ids to place the octave correctly.
     """
     freq = 110.0 * (1.0 + (int(sym) % 24) / 4.0)
-    freq *= 1.35 ** speaker
+    # clamp the register so the realizable range provably stays within the
+    # lf0 quantization bounds [fmin, fmax] of _world_features (ADVICE r4):
+    # base ceiling 742.5 Hz × 1.35^3 × 2 (accent) ≈ 3.65 kHz < 3.7 kHz;
+    # 1.35^4 would exceed fmax AND approach Nyquist at 16 kHz.
+    freq *= 1.35 ** min(int(speaker), 3)
     if accent_high:
         freq *= 2.0
     return freq
@@ -91,6 +95,12 @@ def _world_features(
     convergence evidence impossible.)
     """
     n_frames = mel.shape[0]
+    if hp.num_mgcs > mel.shape[1]:
+        raise ValueError(
+            f"num_mgcs={hp.num_mgcs} exceeds num_mels={mel.shape[1]}: the "
+            "synthetic mgc is a strided down-projection of the mel, so it "
+            "cannot be wider — lower hparams.num_mgcs or raise num_mels"
+        )
     stride = max(mel.shape[1] // hp.num_mgcs, 1)
     mgc = mel[:, : stride * hp.num_mgcs : stride].astype(np.float32)
     frames_per_symbol = SEG_SECONDS * 1000.0 / hp.frame_shift_ms
@@ -137,6 +147,12 @@ def generate_corpus(
     seed: int = 1234,
 ) -> List[str]:
     """Write a synthetic TFRecord corpus; returns the utterance ids."""
+    if num_speakers > 4:
+        raise ValueError(
+            f"num_speakers={num_speakers}: the synthetic register scale "
+            "1.35**speaker only stays within the lf0 quantization ceiling "
+            "(and comfortably below Nyquist) for speakers 0-3"
+        )
     rng = np.random.RandomState(seed)
     os.makedirs(out_dir, exist_ok=True)
     from self_attention_tacotron_tpu.audio import Audio

@@ -375,6 +375,7 @@ class Decoder(nn.Module):
             io_bytes=2 if self.dtype == jnp.bfloat16 else 4,
             dual=dual,
             ls_taps=getattr(self.attention_mechs[0], "attention_kernel", 0),
+            att1_units=int(self.attention_mechs[0].num_units),
         ) > 0
 
     def _fused_teacher_call(self, cond: DecoderConditioning, feeds):

@@ -162,7 +162,7 @@ def _acts_layout(cfg):
 def fused_teacher_fits(
     *, batch: int, num_steps: int, src_len: int, feed_dim: int,
     dec_units: int, mem_dims: int, key_dim: int, io_bytes: int, dual: bool,
-    ls_taps: int = 0,
+    ls_taps: int = 0, att1_units: int = 0,
 ) -> bool:
     """VMEM-budget check for the training fast path (ADVICE r2, medium).
 
@@ -183,9 +183,12 @@ def fused_teacher_fits(
     # carry/acts/stack DMA rings + canonicalization scratches (~80 KB/lane)
     rings = batch * 80 * 1024
     # location-sensitive: the (B, S, K_pad) TAP scratch + wider carry rows
-    # (the cumulative-alignment field streams with the carries)
+    # (the cumulative-alignment field streams with the carries) + the
+    # backward kernel's (B, S, A1) f32 g_loc canonicalization scratch
+    # (ADVICE r4 low)
     ls = (
-        batch * src_len * (((ls_taps + 7) // 8) * 8 + 2) * 4 if ls_taps else 0
+        batch * src_len * (((ls_taps + 7) // 8) * 8 + 2 + att1_units) * 4
+        if ls_taps else 0
     )
     margin = 6 * 1024 * 1024  # weights + transposed weights + small refs
     return nb + cond + rings + ls + margin < budget
@@ -1563,6 +1566,7 @@ def teacher_decode(
             int(hp_like.get("ls_kernel", 31))
             if hp_like.get("src1_kind") == "location_sensitive" else 0
         ),
+        att1_units=int(hp_like["att1_units"]),
     )
     b_max = slice_batch
     if b_max is None and not (interpret or FORCE_INTERPRET):
