@@ -47,8 +47,10 @@ matrix)
     --run-root runs/matrix --out-dir artifacts/convergence_r5
   ;;
 long)
+  # warm start from the COMMITTED r3 flagship npz (the orbax run dirs do
+  # not survive between rounds; trainer accepts .npz via _variables_from_npz)
   run long_finetune 7200 python scripts/convergence_run.py --long \
-    --restore-from runs/convergence/checkpoints --steps 2000 \
+    --restore-from artifacts/convergence_r3/trained_params.npz --steps 2000 \
     --run-dir runs/convergence_long
   ;;
 *)

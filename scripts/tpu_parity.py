@@ -358,6 +358,7 @@ def main() -> int:
     if probe["backend"] == "cpu":
         print(json.dumps({"skipped": True, "reason": "no accelerator"}))
         return 0
+    backend = probe["backend"]
 
     if args.train:
         results = [

@@ -56,6 +56,22 @@ def targets_from_batch(model: TacotronModelBase, batch: Dict[str, jnp.ndarray]):
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
 
 
+def _variables_from_npz(npz_path: str) -> Dict[str, Any]:
+    """Flat ``collection/mod/.../leaf`` npz → nested flax variables dict.
+
+    Inverse of ``scripts/convergence_run.export_params_npz`` — the compact
+    trained-params artifact committed per evidence round.
+    """
+    import flax.traverse_util as tu
+
+    flat = dict(np.load(npz_path))
+    nested: Dict[str, Dict[tuple, np.ndarray]] = {}
+    for key, value in flat.items():
+        collection, rest = key.split("/", 1)
+        nested.setdefault(collection, {})[tuple(rest.split("/"))] = value
+    return {c: tu.unflatten_dict(leaves) for c, leaves in nested.items()}
+
+
 def _network_kwargs(model, batch):
     kwargs = {}
     if model.hparams.use_accent_type:
@@ -143,6 +159,8 @@ class Trainer:
         directory, initialize params/batch_stats from the latest
         checkpoint of another run (fine-tuning; optimizer state and step
         start fresh — reference warm-start semantics, SURVEY.md §5 [L]).
+        Accepts either an orbax checkpoint directory or a flat ``.npz``
+        exported by ``scripts/convergence_run.export_params_npz``.
         """
         state = self.init_state(rng, sample_batch)
         latest = self.ckpt_manager.latest_step()
@@ -150,7 +168,29 @@ class Trainer:
             return self.ckpt_manager.restore(
                 latest, args=ocp.args.StandardRestore(state)
             )
-        if warm_start_from:
+        if warm_start_from and warm_start_from.endswith(".npz"):
+            donor_vars = _variables_from_npz(warm_start_from)
+            # tree_map raises on structure mismatch — architecture must be
+            # identical to the donor run; dtype follows the init leaf.
+            params = jax.tree_util.tree_map(
+                lambda init, d: jnp.asarray(d, init.dtype),
+                state.params,
+                donor_vars["params"],
+            )
+            batch_stats = state.batch_stats
+            if batch_stats and donor_vars.get("batch_stats"):
+                batch_stats = jax.tree_util.tree_map(
+                    lambda init, d: jnp.asarray(d, init.dtype),
+                    batch_stats,
+                    donor_vars["batch_stats"],
+                )
+            state = TrainState(
+                step=state.step,
+                params=shard_params(params, self.mesh),
+                opt_state=state.opt_state,
+                batch_stats=batch_stats,
+            )
+        elif warm_start_from:
             src = ocp.CheckpointManager(os.path.abspath(warm_start_from))
             src_step = src.latest_step()
             if src_step is None:

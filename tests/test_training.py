@@ -197,3 +197,50 @@ def test_mel_png_bf16_renders_identical_to_f32(tmp_path):
     save_alignment_png([align16], a16)
     save_alignment_png([np.asarray(align16).astype(np.float32)], a32)
     np.testing.assert_array_equal(mpimg.imread(a16), mpimg.imread(a32))
+
+
+def test_warm_start_from_npz(tiny_setup, tmp_path):
+    """restore_or_init accepts a flat .npz (export_params_npz format) —
+    the cross-round fine-tune path: orbax run dirs don't survive between
+    rounds, only the committed compact npz does."""
+    import flax.traverse_util as tu
+    import numpy as np
+
+    root, hp, data = tiny_setup
+    model = tacotron_model_factory(hp)
+    trainer = Trainer(model, str(tmp_path / "ckpt_npz_src"))
+    batches = data.batches(4, shuffle=True, repeat=True, seed=0, prefetch=0)
+    state = trainer.train(batches, num_steps=3)
+
+    # export in the scripts/convergence_run.export_params_npz layout
+    arrays = {}
+    for collection, tree in (("params", state.params),
+                             ("batch_stats", state.batch_stats)):
+        flat = tu.flatten_dict(tree, sep="/")
+        arrays.update({f"{collection}/{k}": np.asarray(v, np.float32)
+                       for k, v in flat.items()})
+    npz = str(tmp_path / "donor.npz")
+    np.savez_compressed(npz, **arrays)
+
+    trainer2 = Trainer(model, str(tmp_path / "ckpt_npz_dst"))
+    sample = next(iter(data.batches(4, shuffle=False, repeat=False, seed=1,
+                                    prefetch=0)))
+    restored = trainer2.restore_or_init(
+        jax.random.PRNGKey(7), sample, warm_start_from=npz
+    )
+    # fine-tune semantics: params come from the donor, step restarts at 0
+    assert int(restored.step) == 0
+    donor_flat = tu.flatten_dict(state.params, sep="/")
+    restored_flat = tu.flatten_dict(restored.params, sep="/")
+    assert donor_flat.keys() == restored_flat.keys()
+    for k in donor_flat:
+        np.testing.assert_allclose(
+            np.asarray(restored_flat[k], np.float32),
+            np.asarray(donor_flat[k], np.float32),
+            rtol=1e-6, atol=1e-6, err_msg=k)
+    # and training proceeds from the donor weights
+    state2 = trainer2.train(
+        data.batches(4, shuffle=True, repeat=True, seed=2, prefetch=0),
+        num_steps=2,
+    )
+    assert int(state2.step) == 2
