@@ -93,7 +93,7 @@ def main():
         batch_size, shuffle=False, repeat=False, drop_incomplete=False, prefetch=0
     )
     first = next(iter(batches))
-    state = trainer.restore_or_init(jax.random.PRNGKey(hparams.random_seed), first)
+    state = trainer.restore_inference(jax.random.PRNGKey(hparams.random_seed), first)
     variables = {"params": state.params}
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats

@@ -22,8 +22,16 @@ ignored by the optimizer:
   falls, held-out lf0 frame accuracy beats the majority-class baseline,
   and decode self-terminates.
 * ``ls``       (location-sensitive attention comparison family): trains
-  through the FUSED LS teacher kernel (round-4 extension). Evidence: loss
+  through the FUSED LS teacher kernel (round-4 extension) in the
+  companion-repo pairing LS ships in — the single-source ExtendedDecoder
+  (Tacotron-2 style; every named reference config pairs the dual-source
+  flagship with *forward* attention, SURVEY.md §2.1/§2.2). Evidence: loss
   falls and a monotonic-diagonal alignment emerges (diagonality score).
+  Measured r5 finding: inside the SA flagship, LS collapses (diagonality
+  0.21 at full capacity, loss 0.024) — the self-attention decoder fits
+  the corpus from AR feedback alone, so nothing *forces* alignment the
+  way forward attention's monotonic prior does; that run is kept in
+  BASELINE.md §Round 5 as a negative result, not a matrix family.
 * ``postnet``  (linear-spectrogram PostCBHG): linear loss falls, held-out
   spec beats a mean-spectrum predictor 2×, Griffin-Lim reconstructs a
   finite waveform.
@@ -514,14 +522,24 @@ def diagonality(align: np.ndarray, src_len: int, dec_len: int) -> float:
 
 
 def family_ls(run_root: str, out_dir: str, steps: int) -> dict:
-    """Location-sensitive attention trains FUSED; diagonal emerges."""
+    """Location-sensitive attention trains FUSED; diagonal emerges.
+
+    Single-source ExtendedDecoder — the configuration LS attention ships
+    in (companion tacotron2 repo; SURVEY.md §2.2). The dual-source SA
+    flagship pairs with forward attention in every named reference config;
+    putting LS there collapses (see module docstring / BASELINE.md r5)."""
     from self_attention_tacotron_tpu.models.models import tacotron_model_factory
     from self_attention_tacotron_tpu.synthesis import make_predict_fn
 
     import jax
 
-    overrides = dict(COMMON, **FLAGSHIP)
-    overrides.update(attention="location_sensitive")
+    overrides = dict(
+        COMMON,
+        tacotron_model="ExtendedTacotronV1Model",
+        encoder="ZoneoutEncoderV1",
+        decoder="ExtendedDecoder",
+        attention="location_sensitive",
+    )
     info = run_train("ls", run_root, overrides, steps, corpus_kw={})
     variables, step = restore_variables(info["ckpt_dir"])
     model = tacotron_model_factory(info["hp"])

@@ -206,6 +206,51 @@ class Trainer:
             )
         return state
 
+    def restore_inference(
+        self, rng: jax.Array, sample_batch: Dict[str, np.ndarray]
+    ) -> TrainState:
+        """Params/batch_stats-only restore for PREDICT mode.
+
+        ``restore_or_init`` restores the FULL train state against a target
+        tree, which makes synthesis fail whenever optimizer hparams differ
+        from the training run (e.g. ``use_gradient_clipping`` changes the
+        opt_state pytree structure). Inference only needs params and
+        batch_stats, so restore without a target and overlay just those
+        collections onto a fresh init; opt_state stays at init and is
+        never consulted. Raises when the directory has no checkpoint —
+        synthesizing from random weights is never what a predict CLI user
+        wants.
+        """
+        state = self.init_state(rng, sample_batch)
+        latest = self.ckpt_manager.latest_step()
+        if latest is None:
+            raise FileNotFoundError(
+                f"no checkpoint found under {self.checkpoint_dir!r}"
+            )
+        raw = self.ckpt_manager.restore(latest)
+
+        def _collection(name):
+            return raw[name] if isinstance(raw, dict) else getattr(raw, name)
+
+        params = jax.tree_util.tree_map(
+            lambda init, d: jnp.asarray(d, init.dtype),
+            state.params,
+            _collection("params"),
+        )
+        batch_stats = state.batch_stats
+        if batch_stats:
+            batch_stats = jax.tree_util.tree_map(
+                lambda init, d: jnp.asarray(d, init.dtype),
+                batch_stats,
+                _collection("batch_stats"),
+            )
+        return TrainState(
+            step=jnp.asarray(latest, jnp.int32),
+            params=shard_params(params, self.mesh),
+            opt_state=state.opt_state,
+            batch_stats=batch_stats,
+        )
+
     def save(self, state: TrainState) -> None:
         self.ckpt_manager.save(int(state.step), args=ocp.args.StandardSave(state))
         self.ckpt_manager.wait_until_finished()

@@ -81,6 +81,40 @@ def test_train_loss_decreases_and_resume(tiny_setup, tmp_path):
     np.testing.assert_allclose(np.asarray(p0), np.asarray(p1))
 
 
+def test_restore_inference_tolerates_optimizer_mismatch(tiny_setup, tmp_path):
+    """PREDICT-mode restore must not depend on the opt_state pytree:
+    flipping use_gradient_clipping between train and predict changes the
+    optimizer chain structure, which used to crash predict_mel.py's full
+    StandardRestore. restore_inference overlays params/batch_stats only."""
+    import copy
+
+    root, hp, data = tiny_setup
+    ckpt = str(tmp_path / "ckpt_inf")
+    model = tacotron_model_factory(hp)
+    trainer = Trainer(model, ckpt)
+    batches = data.batches(4, shuffle=True, repeat=True, seed=0, prefetch=0)
+    state = trainer.train(batches, num_steps=2)
+
+    hp2 = copy.deepcopy(hp)
+    hp2.use_gradient_clipping = not hp.use_gradient_clipping
+    model2 = tacotron_model_factory(hp2)
+    trainer2 = Trainer(model2, ckpt)
+    restored = trainer2.restore_inference(
+        jax.random.PRNGKey(0), next(iter(data.batches(4, prefetch=0)))
+    )
+    assert int(restored.step) == 2
+    p0 = jax.tree.leaves(state.params)[0]
+    p1 = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(p0), np.asarray(p1))
+
+    # empty checkpoint dir: synthesis from random weights must refuse
+    trainer3 = Trainer(model, str(tmp_path / "ckpt_empty"))
+    with pytest.raises(FileNotFoundError):
+        trainer3.restore_inference(
+            jax.random.PRNGKey(0), next(iter(data.batches(4, prefetch=0)))
+        )
+
+
 def test_evaluate_writes_artifacts(tiny_setup, tmp_path):
     root, hp, data = tiny_setup
     model = tacotron_model_factory(hp)
