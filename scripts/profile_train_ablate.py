@@ -46,6 +46,15 @@ B, SRC, FRAMES = 32, 128, 800
 VARIANTS = {
     "full": {},
     "ls": dict(attention="location_sensitive"),
+    # TAP-build attribution: the in-kernel location-feature TAP matrix is
+    # built with one masked roll + 1-lane VMEM store PER TAP per step
+    # (fwd, bwd recompute, and adjoint scatter); shrinking the kernel from
+    # 31 to 3 taps scales that cost ~10x while the folded matmul and the
+    # rest of the step stay ~constant
+    "ls_k3": dict(attention="location_sensitive", attention_kernel=3),
+    # previous- instead of cumulative-alignment conv input: drops the
+    # cumulative-field carry stream
+    "ls_prev": dict(attention="location_sensitive", cumulative_weights=False),
     "xla": dict(use_pallas_kernels=False),
     "ls_xla": dict(attention="location_sensitive", use_pallas_kernels=False),
     "no_zoneout": dict(zoneout_factor_cell=0.0, zoneout_factor_output=0.0),

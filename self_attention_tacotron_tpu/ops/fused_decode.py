@@ -320,13 +320,14 @@ def _make_kernel(cfg: Dict[str, Any]):
 
             Conv1d(prev)·W_loc is linear in prev, so the wrapper folds
             ``conv_kernel · location_layer`` into a single (K_pad, A1)
-            matrix; the kernel builds TAP[:, s, k] = prev[:, s + k − K//2]
-            with LSK static rolls + 1-lane stores, then one
-            (B·S, K_pad) @ (K_pad, A1) matmul. The round-3 form (31
-            broadcast-MACs into a (B, S, LSF) feature map on the VPU,
-            ~4 M MACs/step) loses to the MXU by an order of magnitude at
-            these shapes (ops/fused_teacher.py _make_ls_fns has the same
-            formulation on the training path)."""
+            matrix; the kernel builds TAP[k, :, s] = prev[:, s + k − K//2]
+            (tap-major: LSK static rolls + whole-tile leading-index
+            stores), then one TN-form (K_pad, B·S)ᵀ(K_pad, A1) matmul.
+            The round-3 form (31 broadcast-MACs into a (B, S, LSF)
+            feature map on the VPU, ~4 M MACs/step) loses to the MXU by
+            an order of magnitude at these shapes (ops/fused_teacher.py
+            _make_ls_fns has the same formulation on the training
+            path)."""
             col = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
             half = LSK // 2
             for k in range(LSK):
@@ -334,13 +335,14 @@ def _make_kernel(cfg: Dict[str, Any]):
                 # circular roll by (-d) mod S == shift left by d (pltpu.roll
                 # rejects negative shifts); edge wrap is masked out below
                 tap = pltpu.roll(prev, (-d) % S, axis=1) if d % S else prev
-                ls_tap[:, :, k] = jnp.where(
+                ls_tap[k] = jnp.where(
                     (col + d >= 0) & (col + d < S), tap, 0.0
                 )
-            KP = ls_tap.shape[-1]
-            loc = jnp.dot(
-                ls_tap[:].reshape(B * S, KP).astype(io_dtype),
+            KP = ls_tap.shape[0]
+            loc = jax.lax.dot_general(
+                ls_tap[:].reshape(KP, B * S).astype(io_dtype),
                 w_lsW_ref[:],
+                (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).reshape(B, S, A1)
             return loc + ls_bias_ref[:].astype(jnp.float32)
@@ -753,9 +755,13 @@ def _run_fused(operands: Tuple, cfg_key: Tuple) -> Tuple:
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ] + (
-            # TAP staging for the location-feature matmul (see ls_features)
+            # TAP staging for the location-feature matmul (see ls_features);
+            # tap-MAJOR so each tap is one whole-tile store at a static
+            # leading index (the (B, S, K_pad) layout RMW-stored one lane
+            # of every tile per tap — the teacher kernel's measured LS
+            # overhead, fused_teacher.py _make_ls_fns)
             [pltpu.VMEM(
-                (B, S, ((cfg.get("ls_kernel", 31) + 7) // 8) * 8), jnp.float32
+                (((cfg.get("ls_kernel", 31) + 7) // 8) * 8, B, S), jnp.float32
             )]
             if cfg.get("src1_kind") == "location_sensitive" else []
         ),

@@ -182,12 +182,12 @@ def fused_teacher_fits(
     cond = batch * src_len * ((key_dim + mem_dims) * io_bytes + key_dim * 8)
     # carry/acts/stack DMA rings + canonicalization scratches (~80 KB/lane)
     rings = batch * 80 * 1024
-    # location-sensitive: the (B, S, K_pad) TAP scratch + wider carry rows
-    # (the cumulative-alignment field streams with the carries) + the
-    # backward kernel's (B, S, A1) f32 g_loc canonicalization scratch
-    # (ADVICE r4 low)
+    # location-sensitive: the (K_pad, B, S) TAP scratch + the backward's
+    # (B, S, K_pad) g_TAP scratch + wider carry rows (the cumulative-
+    # alignment field streams with the carries) + the backward kernel's
+    # (B, S, A1) f32 g_loc canonicalization scratch (ADVICE r4 low)
     ls = (
-        batch * src_len * (((ls_taps + 7) // 8) * 8 + 2 + att1_units) * 4
+        batch * src_len * (2 * (((ls_taps + 7) // 8) * 8) + 2 + att1_units) * 4
         if ls_taps else 0
     )
     margin = 6 * 1024 * 1024  # weights + transposed weights + small refs
@@ -292,8 +292,14 @@ def _make_ls_fns(cfg, refs):
     ``W = conv_kernel · location_layer`` (computed OUTSIDE the custom_vjp
     in the wrapper, so autodiff distributes d_W back to the real conv /
     dense params) and evaluates ``loc = TAP @ W + bias_vec`` where TAP is
-    the (B·S, K_pad) matrix of shifted alignments. Building TAP costs LSK
-    static rolls + 1-lane stores into a VMEM scratch (~0.1 µs); the matmul
+    the (K_pad, B·S) matrix of shifted alignments. TAP lives TAP-MAJOR —
+    scratch shape (K_pad, B, S) — so each tap is ONE whole-tile store at a
+    static leading index; the r4 (B, S, K_pad) layout stored one LANE of
+    every tile per tap (a masked read-modify-write of the whole scratch,
+    ×31 taps ×(fwd + bwd-recompute) per step), which profiling attributed
+    as the bulk of the LS family's 4.8× training-step overhead
+    (BASELINE.md §Round 5). The matmul contracts the leading K_pad dim
+    (TN form — the probe-verified lowering used by d_lsW since r4) and
     rides the MXU — vs ~28 M VPU MACs/step for the broadcast-MAC form the
     AR kernel used in r3 (fused_decode.py ls_features).
     """
@@ -305,25 +311,25 @@ def _make_ls_fns(cfg, refs):
     tap_ref = refs["ls_tap"]
 
     def zero_tap():
-        # padding lanes LSK..KP must be exact zeros once per launch: VMEM
+        # padding rows LSK..KP must be exact zeros once per launch: VMEM
         # scratch garbage can be NaN, and NaN·0 from the zero-padded W
         # rows would still poison the matmul
         tap_ref[:] = jnp.zeros(tap_ref.shape, jnp.float32)
 
     def build_tap(prev):
-        """TAP[:, s, k] = prev[:, s + k − LSK//2], zero outside [0, S)."""
+        """TAP[k, :, s] = prev[:, s + k − LSK//2], zero outside [0, S)."""
         col = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
         half = LSK // 2
         for k in range(LSK):
             d = k - half
             tap = pltpu.roll(prev, (-d) % S, axis=1) if d % S else prev
-            tap = jnp.where((col + d >= 0) & (col + d < S), tap, 0.0)
-            tap_ref[:, :, k] = tap
+            tap_ref[k] = jnp.where((col + d >= 0) & (col + d < S), tap, 0.0)
 
     def loc_from_tap():
-        TAP = tap_ref[:].reshape(B * S, KP)
-        out = jnp.dot(
+        TAP = tap_ref[:].reshape(KP, B * S)
+        out = jax.lax.dot_general(
             TAP.astype(io_dtype), refs["w_lsW"][:],
+            (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).reshape(B, S, A1)
         return out + refs["ls_bias"][:].astype(jnp.float32)
@@ -723,10 +729,11 @@ def _make_bwd_kernel(cfg):
         ls = _is_ls(cfg)
         ls_cum = _ls_carries_cum(cfg)
         KP = _ls_kpad(cfg)
-        ls_g = None
+        ls_g = ls_gtap = None
         if ls:
             refs["ls_tap"] = args[pos]
             ls_g = args[pos + 1]
+            ls_gtap = args[pos + 2]
             zero_tap, build_tap, loc_from_tap = _make_ls_fns(cfg, refs)
             zero_tap()
 
@@ -1042,12 +1049,12 @@ def _make_bwd_kernel(cfg):
                 # the A1 slice through a scratch before the 2D reshape
                 ls_g[:] = g_pre[:, :, :A1] if dual else g_pre
                 g_loc2d = ls_g[:].reshape(B * S, A1)
-                TAP2d = refs["ls_tap"][:].reshape(B * S, KP)
-                # g_W accumulates over all N·B·S tap rows: transposed
-                # contraction rides the MXU (probe-verified lowering)
+                TAP_k2d = refs["ls_tap"][:].reshape(KP, B * S)
+                # g_W accumulates over all N·B·S tap columns; with the
+                # tap-major TAP this is the natural NN matmul
                 grads["d_lsW"][:] = grads["d_lsW"][:] + jax.lax.dot_general(
-                    TAP2d.astype(io_dtype), g_loc2d.astype(io_dtype),
-                    (((0,), (0,)), ((), ())),
+                    TAP_k2d.astype(io_dtype), g_loc2d.astype(io_dtype),
+                    (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
                 # bias_vec is added once per (b, s): its gradient is the
@@ -1060,14 +1067,17 @@ def _make_bwd_kernel(cfg):
                     g_loc2d.astype(io_dtype), refs["w_lsWT"][:],
                     preferred_element_type=jnp.float32,
                 )
-                # TAP is dead now — reuse its scratch to canonicalize g_TAP
-                refs["ls_tap"][:] = g_tap2d.reshape(B, S, KP)
+                # canonicalize g_TAP through its own scratch (the natural
+                # NN matmul above leaves it tap-MINOR; the per-tap lane
+                # LOADS below are plain reads, not the RMW stores the
+                # tap-major TAP layout eliminates)
+                ls_gtap[:] = g_tap2d.reshape(B, S, KP)
                 colS2 = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
                 g_prev_al = jnp.zeros((B, S), jnp.float32)
                 half = cfg["ls_kernel"] // 2
                 for k in range(cfg["ls_kernel"]):
                     d = k - half
-                    gk = refs["ls_tap"][:, :, k]
+                    gk = ls_gtap[:, :, k]
                     # adjoint of tap_k (prev shifted by d, zero-masked):
                     # g_prev[s'] += g_tap_k[s' − d], zero where s' − d
                     # leaves [0, S)
@@ -1196,7 +1206,9 @@ def _run_fwd(operands: Tuple, cfg_key: Tuple):
             pltpu.VMEM((2, B, a_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ] + (
-            [pltpu.VMEM((cfg["batch"], cfg["src_len"], _ls_kpad(cfg)), jnp.float32)]
+            # TAP-major: whole-tile stores at a static leading index (one
+            # per tap) instead of per-lane RMW of the whole scratch
+            [pltpu.VMEM((_ls_kpad(cfg), cfg["batch"], cfg["src_len"]), jnp.float32)]
             if _is_ls(cfg) else []
         ),
     )
@@ -1270,8 +1282,9 @@ def _run_bwd(operands: Tuple, cfg_key: Tuple):
             pltpu.SemaphoreType.DMA((2,)),
         ] + (
             [
-                pltpu.VMEM((B, S, KP), jnp.float32),   # TAP / g_TAP
+                pltpu.VMEM((KP, B, S), jnp.float32),   # TAP (tap-major)
                 pltpu.VMEM((B, S, A1), jnp.float32),   # canonical g_loc
+                pltpu.VMEM((B, S, KP), jnp.float32),   # canonical g_TAP
             ]
             if ls else []
         ),
