@@ -418,13 +418,20 @@ def main() -> int:
         # round-3 kernel extensions
         ("location_sensitive_f32",
          _case_hparams(attention="location_sensitive", compute_dtype="float32")),
+        # round-5: src=128 selects the tap-major TAP layout in the AR
+        # kernel (fused_decode ls_features; src=32 above covers the
+        # lane-minor fallback) — verified on hardware, not just interpret
+        ("location_sensitive_s128_f32",
+         _case_hparams(attention="location_sensitive", compute_dtype="float32"),
+         dict(src=128)),
         ("mgclf0_f32",
          _case_hparams(tacotron_model="MgcLf0TacotronModel",
                        encoder="ZoneoutEncoderV1",
                        decoder="MgcLf0ExtendedDecoder",
                        compute_dtype="float32")),
     ]
-    results = [run_case(name, hp) for name, hp in cases]
+    results = [run_case(c[0], c[1], **(c[2] if len(c) > 2 else {}))
+               for c in cases]
     # fused kernel inside shard_map over a 1-device mesh (r3 weak #4)
     results.append(run_shard_map_case(
         "shard_map_fused_f32", _case_hparams(compute_dtype="float32")

@@ -260,7 +260,24 @@ def griffin_lim(
 
     ``magnitude``: (frames, n_fft//2+1) linear amplitudes. Runs as a
     ``fori_loop`` of istft/stft round trips — compiles to one XLA graph.
+
+    Pinned to the CPU backend: phase reconstruction is complex64
+    throughout, the axon TPU relay raises UNIMPLEMENTED on complex ops,
+    and this is offline waveform post-processing (predict --write-wav,
+    eval scoring) — never on the serving hot path.
     """
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        magnitude = jax.device_put(jnp.asarray(magnitude), cpu)
+        return _griffin_lim_cpu(
+            magnitude, n_fft=n_fft, hop_length=hop_length,
+            win_length=win_length, n_iters=n_iters, length=length, seed=seed,
+        )
+
+
+def _griffin_lim_cpu(
+    magnitude, *, n_fft, hop_length, win_length, n_iters, length, seed
+):
     key = jax.random.PRNGKey(seed)
     angles = jax.random.uniform(key, magnitude.shape, minval=-np.pi, maxval=np.pi)
     spec = magnitude * jnp.exp(1j * angles)

@@ -304,8 +304,12 @@ def _make_kernel(cfg: Dict[str, Any]):
 
         if src1_kind == "location_sensitive":
             ls_tap = extra_scratch[0]
-            # zero once: padding lanes LSK..K_pad feed the matmul every
-            # step, and VMEM scratch garbage can be NaN (NaN·0 = NaN)
+            # tap-major needs the (B, S) → B·S lane collapse, which Mosaic
+            # only supports when S is lane-tile aligned (see
+            # fused_teacher._ls_tap_major); lane-minor fallback otherwise
+            ls_tap_major = S % 128 == 0
+            # zero once: padding rows/lanes LSK..K_pad feed the matmul
+            # every step, and VMEM scratch garbage can be NaN (NaN·0 = NaN)
             ls_tap[:] = jnp.zeros(ls_tap.shape, jnp.float32)
 
         def dropout(x, width):
@@ -335,16 +339,26 @@ def _make_kernel(cfg: Dict[str, Any]):
                 # circular roll by (-d) mod S == shift left by d (pltpu.roll
                 # rejects negative shifts); edge wrap is masked out below
                 tap = pltpu.roll(prev, (-d) % S, axis=1) if d % S else prev
-                ls_tap[k] = jnp.where(
-                    (col + d >= 0) & (col + d < S), tap, 0.0
-                )
-            KP = ls_tap.shape[0]
-            loc = jax.lax.dot_general(
-                ls_tap[:].reshape(KP, B * S).astype(io_dtype),
-                w_lsW_ref[:],
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).reshape(B, S, A1)
+                tap = jnp.where((col + d >= 0) & (col + d < S), tap, 0.0)
+                if ls_tap_major:
+                    ls_tap[k] = tap
+                else:
+                    ls_tap[:, :, k] = tap
+            if ls_tap_major:
+                KP = ls_tap.shape[0]
+                loc = jax.lax.dot_general(
+                    ls_tap[:].reshape(KP, B * S).astype(io_dtype),
+                    w_lsW_ref[:],
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).reshape(B, S, A1)
+            else:
+                KP = ls_tap.shape[-1]
+                loc = jnp.dot(
+                    ls_tap[:].reshape(B * S, KP).astype(io_dtype),
+                    w_lsW_ref[:],
+                    preferred_element_type=jnp.float32,
+                ).reshape(B, S, A1)
             return loc + ls_bias_ref[:].astype(jnp.float32)
 
         def body(carry):
@@ -759,9 +773,13 @@ def _run_fused(operands: Tuple, cfg_key: Tuple) -> Tuple:
             # tap-MAJOR so each tap is one whole-tile store at a static
             # leading index (the (B, S, K_pad) layout RMW-stored one lane
             # of every tile per tap — the teacher kernel's measured LS
-            # overhead, fused_teacher.py _make_ls_fns)
+            # overhead, fused_teacher.py _make_ls_fns); lane-minor when S
+            # is not lane-tile aligned (Mosaic rejects the lane collapse)
             [pltpu.VMEM(
-                (((cfg.get("ls_kernel", 31) + 7) // 8) * 8, B, S), jnp.float32
+                (((cfg.get("ls_kernel", 31) + 7) // 8) * 8, B, S)
+                if S % 128 == 0
+                else (B, S, ((cfg.get("ls_kernel", 31) + 7) // 8) * 8),
+                jnp.float32,
             )]
             if cfg.get("src1_kind") == "location_sensitive" else []
         ),

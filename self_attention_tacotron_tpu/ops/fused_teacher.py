@@ -72,6 +72,16 @@ def _ls_kpad(cfg) -> int:
     return ((cfg.get("ls_kernel", 31) + 7) // 8) * 8
 
 
+def _ls_tap_major(cfg) -> bool:
+    """Tap-major TAP layout needs the (B, S) → B·S lane collapse, which
+    Mosaic only supports when S is lane-tile aligned (the (32,8,32) →
+    (32,256) cast is an 'unsupported shape cast'; (32,32,128) → (32,4096)
+    compiles and runs). Small-S configs (tests, short corpora) take the
+    r4 lane-store layout instead — correct everywhere, and its per-tap
+    RMW cost only matters at production shapes, which bucket to 128."""
+    return cfg["src_len"] % 128 == 0
+
+
 def _init_alpha(cfg):
     """Initial source-1 alignment: one-hot at 0 for the forward-attention
     recursion, uniform for the additive family (location-sensitive) —
@@ -309,29 +319,42 @@ def _make_ls_fns(cfg, refs):
     A1 = cfg["att1_units"]
     io_dtype = jnp.bfloat16 if cfg["io_dtype"] == "bfloat16" else jnp.float32
     tap_ref = refs["ls_tap"]
+    tap_major = _ls_tap_major(cfg)
 
     def zero_tap():
-        # padding rows LSK..KP must be exact zeros once per launch: VMEM
-        # scratch garbage can be NaN, and NaN·0 from the zero-padded W
-        # rows would still poison the matmul
+        # padding rows/lanes LSK..KP must be exact zeros once per launch:
+        # VMEM scratch garbage can be NaN, and NaN·0 from the zero-padded
+        # W rows would still poison the matmul
         tap_ref[:] = jnp.zeros(tap_ref.shape, jnp.float32)
 
     def build_tap(prev):
-        """TAP[k, :, s] = prev[:, s + k − LSK//2], zero outside [0, S)."""
+        """TAP[k, :, s] (tap-major) or TAP[:, s, k] = prev[:, s + k − LSK//2],
+        zero outside [0, S)."""
         col = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
         half = LSK // 2
         for k in range(LSK):
             d = k - half
             tap = pltpu.roll(prev, (-d) % S, axis=1) if d % S else prev
-            tap_ref[k] = jnp.where((col + d >= 0) & (col + d < S), tap, 0.0)
+            tap = jnp.where((col + d >= 0) & (col + d < S), tap, 0.0)
+            if tap_major:
+                tap_ref[k] = tap
+            else:
+                tap_ref[:, :, k] = tap
 
     def loc_from_tap():
-        TAP = tap_ref[:].reshape(KP, B * S)
-        out = jax.lax.dot_general(
-            TAP.astype(io_dtype), refs["w_lsW"][:],
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(B, S, A1)
+        if tap_major:
+            TAP = tap_ref[:].reshape(KP, B * S)
+            out = jax.lax.dot_general(
+                TAP.astype(io_dtype), refs["w_lsW"][:],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(B, S, A1)
+        else:
+            TAP = tap_ref[:].reshape(B * S, KP)
+            out = jnp.dot(
+                TAP.astype(io_dtype), refs["w_lsW"][:],
+                preferred_element_type=jnp.float32,
+            ).reshape(B, S, A1)
         return out + refs["ls_bias"][:].astype(jnp.float32)
 
     return zero_tap, build_tap, loc_from_tap
@@ -1049,14 +1072,24 @@ def _make_bwd_kernel(cfg):
                 # the A1 slice through a scratch before the 2D reshape
                 ls_g[:] = g_pre[:, :, :A1] if dual else g_pre
                 g_loc2d = ls_g[:].reshape(B * S, A1)
-                TAP_k2d = refs["ls_tap"][:].reshape(KP, B * S)
-                # g_W accumulates over all N·B·S tap columns; with the
-                # tap-major TAP this is the natural NN matmul
-                grads["d_lsW"][:] = grads["d_lsW"][:] + jax.lax.dot_general(
-                    TAP_k2d.astype(io_dtype), g_loc2d.astype(io_dtype),
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+                # g_W accumulates over all N·B·S tap rows/columns: the
+                # natural NN matmul when tap-major, the probe-verified TN
+                # contraction on the lane-minor fallback layout
+                if _ls_tap_major(cfg):
+                    TAP_k2d = refs["ls_tap"][:].reshape(KP, B * S)
+                    d_lsw_inc = jax.lax.dot_general(
+                        TAP_k2d.astype(io_dtype), g_loc2d.astype(io_dtype),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    TAP2d = refs["ls_tap"][:].reshape(B * S, KP)
+                    d_lsw_inc = jax.lax.dot_general(
+                        TAP2d.astype(io_dtype), g_loc2d.astype(io_dtype),
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                grads["d_lsW"][:] = grads["d_lsW"][:] + d_lsw_inc
                 # bias_vec is added once per (b, s): its gradient is the
                 # B-sum of the already-staged Σ_s g_pre (= g_qp); the A2
                 # tail is sliced off by the wrapper
@@ -1206,9 +1239,15 @@ def _run_fwd(operands: Tuple, cfg_key: Tuple):
             pltpu.VMEM((2, B, a_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ] + (
-            # TAP-major: whole-tile stores at a static leading index (one
-            # per tap) instead of per-lane RMW of the whole scratch
-            [pltpu.VMEM((_ls_kpad(cfg), cfg["batch"], cfg["src_len"]), jnp.float32)]
+            # tap-major: whole-tile stores at a static leading index (one
+            # per tap) instead of per-lane RMW of the whole scratch;
+            # lane-minor fallback when S is not lane-tile aligned
+            [pltpu.VMEM(
+                (_ls_kpad(cfg), cfg["batch"], cfg["src_len"])
+                if _ls_tap_major(cfg)
+                else (cfg["batch"], cfg["src_len"], _ls_kpad(cfg)),
+                jnp.float32,
+            )]
             if _is_ls(cfg) else []
         ),
     )
@@ -1282,7 +1321,10 @@ def _run_bwd(operands: Tuple, cfg_key: Tuple):
             pltpu.SemaphoreType.DMA((2,)),
         ] + (
             [
-                pltpu.VMEM((KP, B, S), jnp.float32),   # TAP (tap-major)
+                pltpu.VMEM(
+                    (KP, B, S) if _ls_tap_major(cfg) else (B, S, KP),
+                    jnp.float32,
+                ),                                     # TAP
                 pltpu.VMEM((B, S, A1), jnp.float32),   # canonical g_loc
                 pltpu.VMEM((B, S, KP), jnp.float32),   # canonical g_TAP
             ]

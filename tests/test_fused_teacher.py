@@ -270,6 +270,49 @@ def test_gradients_match_reference(dual, use_ta, spk, ls):
         )
 
 
+def test_ls_tap_major_matches_reference():
+    """S=128 (lane-tile aligned) selects the tap-major TAP layout
+    (fused_teacher._ls_tap_major) — the production fast path the small-S
+    configs above never reach. Forward AND gradients vs the reference."""
+    d = _dims(dual=False, ls="cum")
+    d["S"] = 128
+    weights, conds, feeds = _make_inputs(d)
+    feat_ref, align_ref = _reference(weights, conds, feeds, d)
+    feat, aligns = _run_kernel(weights, conds, feeds, d)
+    np.testing.assert_allclose(
+        np.asarray(feat), np.asarray(feat_ref), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(aligns), np.asarray(align_ref), atol=1e-5, rtol=1e-5
+    )
+
+    wf = jnp.asarray(
+        np.random.RandomState(7).randn(d["B"], d["N"], d["DU"]), jnp.float32
+    )
+
+    def loss_ref(weights):
+        f, _ = _reference(weights, conds, feeds, d)
+        return jnp.sum(f * wf)
+
+    def loss_kernel(weights):
+        f, _ = fused_teacher.teacher_decode(
+            weights=weights,
+            keys=conds["keys"], mem1=conds["mem1"], mem2=conds["mem2"],
+            score_bias=conds["score_bias"], spk=conds["spk"],
+            feeds=feeds, seed=jnp.zeros((), jnp.int32),
+            hp_like=_hp_like(d), interpret=True,
+        )
+        return jnp.sum(f * wf)
+
+    g_ref = jax.grad(loss_ref)(weights)
+    g = jax.grad(loss_kernel)(weights)
+    for k in ("w_lsW", "ls_bias", "w_qp", "w_attg"):
+        np.testing.assert_allclose(
+            np.asarray(g[k]), np.asarray(g_ref[k]),
+            atol=2e-4, rtol=1e-4, err_msg=f"weight grad {k}",
+        )
+
+
 def test_stochastic_masks_are_finite_and_regenerated():
     """With dropout+zoneout on, fwd runs and grads are finite (the masks
     are regenerated in the backward from the same per-step seeds)."""
