@@ -53,7 +53,22 @@ long)
     --restore-from artifacts/convergence_r3/trained_params.npz --steps 2000 \
     --run-dir runs/convergence_long
   ;;
+r5b)
+  # session-2 remainder, serialized on the one chip: fresh single-source
+  # ls run (family rewired in 7052555), speaker extended to 5000 steps
+  # (range criterion needs more training), then the long-utterance
+  # fine-tune from the committed r3 flagship npz
+  run matrix_ls 7200 python scripts/convergence_matrix.py \
+    --families ls --steps 2500 \
+    --run-root runs/matrix --out-dir artifacts/convergence_r5
+  run matrix_speaker 7200 python scripts/convergence_matrix.py \
+    --families speaker --steps 5000 \
+    --run-root runs/matrix --out-dir artifacts/convergence_r5
+  run long_finetune 7200 python scripts/convergence_run.py --long \
+    --restore-from artifacts/convergence_r3/trained_params.npz --steps 2000 \
+    --run-dir runs/convergence_long
+  ;;
 *)
-  echo "unknown stage: $stage (gates|matrix|long)"; exit 2 ;;
+  echo "unknown stage: $stage (gates|matrix|long|r5b)"; exit 2 ;;
 esac
 echo "--- summary ---"; cat "$SUMMARY"
