@@ -674,7 +674,7 @@ _BWD_EXTRA_REF_NAMES = (
     "w_lsWT",
 )
 
-_GRAD_NAMES = ("d_keys", "d_vblk", "d_spk", "d_lsW", "d_lsbias")
+_GRAD_NAMES = ("d_keys", "d_vblk", "d_spk", "d_lsW", "d_lsbias", "d_brow")
 
 
 def _stack_layout(cfg):
@@ -1177,7 +1177,11 @@ def _make_bwd_kernel(cfg):
                     stack_sem.at[slot],
                 ).wait()
 
-            stack_row[slot] = jnp.pad(srow, ((0, 0), (0, k_pad - s_width)))
+            srow_pad = jnp.pad(srow, ((0, 0), (0, k_pad - s_width)))
+            # f32 running sum over steps — bias grads come from here, so
+            # the bf16 stack rounding never touches them
+            grads["d_brow"][:] = grads["d_brow"][:] + srow_pad
+            stack_row[slot] = srow_pad.astype(stack_row.dtype)
             pltpu.make_async_copy(
                 stack_row.at[pl.ds(slot, 1)],
                 stack_hbm.at[pl.ds(t, 1)],
@@ -1281,6 +1285,7 @@ def _run_bwd(operands: Tuple, cfg_key: Tuple):
 
     ls = _is_ls(cfg)
     KP = _ls_kpad(cfg)
+    io_np = jnp.bfloat16 if cfg["io_dtype"] == "bfloat16" else jnp.float32
     out_shapes = (
         jax.ShapeDtypeStruct((B, S, a_tot), jnp.float32),   # d_keys
         jax.ShapeDtypeStruct((n_src, a_tot), jnp.float32),  # d_vblk (rows)
@@ -1288,7 +1293,16 @@ def _run_bwd(operands: Tuple, cfg_key: Tuple):
         # d_lsW / d_lsbias (location-sensitive; minimal dummies when off)
         jax.ShapeDtypeStruct((KP if ls else 8, A1 if ls else 128), jnp.float32),
         jax.ShapeDtypeStruct((1, a_tot if ls else 128), jnp.float32),
-        jax.ShapeDtypeStruct((N, B, k_pad), jnp.float32),   # gradient stacks
+        # d_brow: f32 accumulator of the per-step stack rows (N-sum),
+        # so bias gradients keep full precision when the stack itself is
+        # exported in bf16 (the wrapper B-sums it per field)
+        jax.ShapeDtypeStruct((B, k_pad), jnp.float32),
+        # gradient stacks in the COMPUTE dtype: every consumer (the
+        # wrapper's batched weight-grad matmuls) casts to io_dtype anyway,
+        # so f32 storage only bought a whole-stack HBM convert downstream
+        # (measured 0.53 ms at bench shapes); bias sums accumulate in f32
+        # at the reduce (wrapper bsum dtype=f32)
+        jax.ShapeDtypeStruct((N, B, k_pad), io_np),         # gradient stacks
     )
     _, a_pad = _acts_layout(cfg)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1305,6 +1319,7 @@ def _run_bwd(operands: Tuple, cfg_key: Tuple):
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # d_lsW
             pl.BlockSpec(memory_space=pltpu.VMEM),  # d_lsbias
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # d_brow
             pl.BlockSpec(memory_space=pl.ANY),      # stacks (HBM)
         ),
         scratch_shapes=[
@@ -1317,7 +1332,7 @@ def _run_bwd(operands: Tuple, cfg_key: Tuple):
             pltpu.VMEM((B, a_tot), jnp.float32),   # canonical qp
             pltpu.VMEM((B, S, a_tot), jnp.float32),  # canonical score tanh
             pltpu.VMEM((B, a_tot), jnp.float32),     # staged reductions
-            pltpu.VMEM((2, B, k_pad), jnp.float32),
+            pltpu.VMEM((2, B, k_pad), io_np),        # stack DMA ring
             pltpu.SemaphoreType.DMA((2,)),
         ] + (
             [
@@ -1467,14 +1482,20 @@ def _teacher_decode_bwd(cfg_key, residuals, cotangents):
         off, w = slayout[name]
         return stacks[..., off : off + w]
 
-    prev = jnp.concatenate(
-        [jnp.zeros_like(carries[:1]), carries[:-1]], axis=0
-    )
     f32 = jnp.float32
     mm = (
         (lambda x: x.astype(jnp.bfloat16))
         if cfg["io_dtype"] == "bfloat16"
         else (lambda x: x.astype(f32))
+    )
+    # cast the f32 carries residual to the matmul dtype ONCE, before the
+    # concat/slice assembly below: every consumer is an io_dtype matmul,
+    # so assembling in f32 just doubled the HBM bandwidth of the
+    # concatenated copies (rounding before vs after a concat/slice is
+    # value-identical)
+    carries = mm(carries)
+    prev = jnp.concatenate(
+        [jnp.zeros_like(carries[:1]), carries[:-1]], axis=0
     )
 
     def dT(x_nbi, g_nbo):
@@ -1484,15 +1505,20 @@ def _teacher_decode_bwd(cfg_key, residuals, cotangents):
             (((0,), (0,)), ((), ())), preferred_element_type=f32,
         )
 
-    def bsum(g_nbo):
-        return jnp.sum(g_nbo, axis=(0, 1))
+    def bsum(name):
+        # bias grads come from the kernel's f32 d_brow accumulator (the
+        # N-sum happened in-kernel); only the B-sum remains
+        off, w = slayout[name]
+        return jnp.sum(g["d_brow"][:, off : off + w], axis=0)
 
     spk = conds.get("spk")
     att_parts = [scol("x2")]
     if cfg["spk_dim"]:
+        # mm-cast BEFORE the concat: a mixed-dtype concatenate would
+        # silently promote the whole assembled att_in back to f32
         att_parts.append(
             jnp.broadcast_to(
-                jnp.asarray(spk, f32)[None], (carries.shape[0],) + spk.shape
+                mm(jnp.asarray(spk))[None], (carries.shape[0],) + spk.shape
             )
         )
     att_parts += [ccol(prev, "ctx1")]
@@ -1512,20 +1538,20 @@ def _teacher_decode_bwd(cfg_key, residuals, cotangents):
     din2 = jnp.concatenate(
         [ccol(carries, "h1"), ccol(prev, "h2")], axis=-1
     )
-    feeds_nb = jnp.transpose(jnp.asarray(feeds, f32), (1, 0, 2))
+    feeds_nb = jnp.transpose(mm(jnp.asarray(feeds)), (1, 0, 2))
 
     g_weights = {
-        "w_p1": dT(feeds_nb, scol("g_x1pre")), "b_p1": bsum(scol("g_x1pre")),
-        "w_p2": dT(scol("x1"), scol("g_x2pre")), "b_p2": bsum(scol("g_x2pre")),
-        "w_attg": dT(att_in, g_z_att), "b_attg": bsum(g_z_att),
+        "w_p1": dT(feeds_nb, scol("g_x1pre")), "b_p1": bsum("g_x1pre"),
+        "w_p2": dT(scol("x1"), scol("g_x2pre")), "b_p2": bsum("g_x2pre"),
+        "w_attg": dT(att_in, g_z_att), "b_attg": bsum("g_z_att"),
         "w_qp": dT(h_att_t, scol("g_qp")), "vblk": jnp.transpose(g["d_vblk"]),
-        "w_l1": dT(din1, scol("g_z1")), "b_l1": bsum(scol("g_z1")),
-        "w_l2": dT(din2, scol("g_z2")), "b_l2": bsum(scol("g_z2")),
+        "w_l1": dT(din1, scol("g_z1")), "b_l1": bsum("g_z1"),
+        "w_l2": dT(din2, scol("g_z2")), "b_l2": bsum("g_z2"),
     }
     if use_ta:
         ta_in = jnp.concatenate([ccol(carries, "ctx1"), h_att_t], axis=-1)
         g_weights["w_ta"] = dT(ta_in, scol("g_u_pre"))
-        g_weights["b_ta"] = bsum(scol("g_u_pre"))
+        g_weights["b_ta"] = bsum("g_u_pre")
     else:
         g_weights["w_ta"] = jnp.zeros_like(jnp.asarray(weights["w_ta"], f32))
         g_weights["b_ta"] = jnp.zeros_like(jnp.asarray(weights["b_ta"], f32))

@@ -313,6 +313,47 @@ def test_ls_tap_major_matches_reference():
         )
 
 
+def test_bf16_gradient_stack_matches_reference():
+    """io_dtype=bfloat16 exports the backward's per-step gradient stack in
+    bf16 (the wrapper's weight-grad matmuls cast to bf16 anyway; f32
+    storage only bought a whole-stack HBM convert). Loose tolerances —
+    the reference is f32, so the diff here is the bf16 compute path, and
+    the assertion guards the stack/bias-sum wiring, not precision."""
+    d = _dims(dual=True, use_ta=True, spk=0, ls=None)
+    weights, conds, feeds = _make_inputs(d)
+    hp = dict(_hp_like(d), io_dtype="bfloat16")
+
+    wf = jnp.asarray(
+        np.random.RandomState(11).randn(d["B"], d["N"], d["DU"]), jnp.float32
+    )
+
+    def loss_kernel(weights):
+        f, _ = fused_teacher.teacher_decode(
+            weights=weights,
+            keys=conds["keys"], mem1=conds["mem1"], mem2=conds["mem2"],
+            score_bias=conds["score_bias"], spk=conds["spk"],
+            feeds=feeds, seed=jnp.zeros((), jnp.int32),
+            hp_like=hp, interpret=True,
+        )
+        return jnp.sum(f * wf)
+
+    def loss_ref(weights):
+        f, _ = _reference(weights, conds, feeds, d)
+        return jnp.sum(f * wf)
+
+    g = jax.grad(loss_kernel)(weights)
+    g_ref = jax.grad(loss_ref)(weights)
+    for k in g_ref:
+        gk, rk = np.asarray(g[k], np.float32), np.asarray(g_ref[k])
+        assert np.all(np.isfinite(gk)), f"non-finite grad {k}"
+        # leaf-norm relative error (the on-device gate's metric):
+        # elementwise comparisons blow up on cancelling bias sums, whose
+        # bf16-path error is inherent to the compute dtype (measured
+        # identical before/after the bf16 stack export)
+        rel = np.linalg.norm(gk - rk) / max(np.linalg.norm(rk), 1e-6)
+        assert rel < 0.1, f"bf16 grad {k} off by {rel:.4f} norm-rel"
+
+
 def test_stochastic_masks_are_finite_and_regenerated():
     """With dropout+zoneout on, fwd runs and grads are finite (the masks
     are regenerated in the backward from the same per-step seeds)."""
