@@ -309,6 +309,7 @@ class BiRNN(nn.Module):
     cell_bwd: nn.Module
     rng_names: Sequence[str] = ("zoneout",)
     use_pallas: bool = False
+    is_training: bool = False
 
     def __call__(self, xs, lengths, initial_carry_fwd, initial_carry_bwd):
         if (
@@ -317,15 +318,37 @@ class BiRNN(nn.Module):
             and jax.default_backend() != "cpu"
         ):
             if isinstance(self.cell_fwd, GRUCell):
-                from self_attention_tacotron_tpu.ops.fused_rnn import bigru_pallas
+                # bigru_train's primal IS the fused forward kernel, so
+                # eval takes the same path; under jax.grad the custom VJP
+                # replaces the flax axes_scan backward (~1.1 ms/train
+                # step at bench shapes — BASELINE.md r5 attribution). The
+                # backward-carry kernel needs H lane-tile aligned for the
+                # in-kernel r/z gate slices; unaligned widths keep the
+                # XLA scan in training and the eval-only kernel otherwise.
+                if self.cell_fwd.num_units % 128 == 0:
+                    from self_attention_tacotron_tpu.ops.fused_rnn import (
+                        bigru_train,
+                    )
 
-                return bigru_pallas(
-                    xs,
-                    lengths,
-                    self.cell_fwd.variables["params"],
-                    self.cell_bwd.variables["params"],
-                    hidden=self.cell_fwd.num_units,
-                )
+                    return bigru_train(
+                        xs,
+                        lengths,
+                        self.cell_fwd.variables["params"],
+                        self.cell_bwd.variables["params"],
+                        hidden=self.cell_fwd.num_units,
+                    )
+                if not self.is_training:
+                    from self_attention_tacotron_tpu.ops.fused_rnn import (
+                        bigru_pallas,
+                    )
+
+                    return bigru_pallas(
+                        xs,
+                        lengths,
+                        self.cell_fwd.variables["params"],
+                        self.cell_bwd.variables["params"],
+                        hidden=self.cell_fwd.num_units,
+                    )
             if isinstance(self.cell_fwd, ZoneoutLSTMCell) and not self.cell_fwd.is_training:
                 from self_attention_tacotron_tpu.ops.fused_rnn import bilstm_pallas
 
@@ -420,7 +443,11 @@ class CBHG(nn.Module):
             cell_fwd=GRUCell(half, dtype=self.dtype, name="gru_fwd"),
             cell_bwd=GRUCell(half, dtype=self.dtype, name="gru_bwd"),
             rng_names=(),
-            use_pallas=self.use_pallas and not self.is_training,
+            # the GRU cell is deterministic, so the fused kernel is exact
+            # in training too (bigru_train carries a custom VJP); BiRNN
+            # itself gates the train path on lane alignment
+            use_pallas=self.use_pallas,
+            is_training=self.is_training,
         )
         init = jnp.zeros((x.shape[0], half), self.dtype)
         return rnn(highway, lengths, init, init)
