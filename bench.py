@@ -337,14 +337,17 @@ def run_trained_bench(
     repeats: int = 5,
     stop_threshold: float = 0.5,
     seed: int = 0,
+    symbols: tuple = (17, 24),
 ):
     """Synthesis throughput FROM A TRAINED CHECKPOINT with the real stop
     threshold, so per-lane early exit runs for real (VERDICT r2 item 1).
 
     Sources are in-distribution for the convergence checkpoint (random
-    texts over the synthetic corpus's alphabet, 17-24 symbols); reported
-    throughput counts REALIZED frames (sum of true predicted lengths),
-    not the max_iters buffer.
+    texts over the synthetic corpus's alphabet; `symbols` bounds the
+    per-utterance length — pass 94,152 for the long-corpus checkpoint,
+    whose realized lengths run 610-982 frames); reported throughput
+    counts REALIZED frames (sum of true predicted lengths), not the
+    max_iters buffer.
     """
     import jax
     import jax.numpy as jnp
@@ -362,11 +365,12 @@ def run_trained_bench(
 
     rng = np.random.RandomState(seed)
     alphabet = "abcdefghijklmnopqrstuvwxyz "
-    src_len = 32
+    lo, hi = symbols
+    src_len = max(32, -(-(hi) // 32) * 32)   # pad up to a 32 multiple
     sources = np.zeros((batch_size, src_len), np.int32)
     lengths = np.zeros((batch_size,), np.int32)
     for i in range(batch_size):
-        n = rng.randint(17, 25)
+        n = rng.randint(lo, hi + 1)
         text = "".join(alphabet[rng.randint(len(alphabet))] for _ in range(n))
         ids = np.asarray(text_to_sequence(text), np.int32)
         sources[i, : len(ids)] = ids
@@ -728,6 +732,10 @@ def main():
                    help="synthesis bench from a trained checkpoint npz with "
                         "real stop-token early exit (stop threshold 0.5)")
     p.add_argument("--stop-threshold", type=float, default=0.5)
+    p.add_argument("--trained-symbols", default="17,24",
+                   help="MIN,MAX per-utterance symbol count for "
+                        "--trained-npz sources (94,152 for the long "
+                        "checkpoint)")
     p.add_argument("--serve", action="store_true",
                    help="sustained wall-clock serving bench: in-flight "
                         "depth sweep + transport-floor calibration")
@@ -766,9 +774,10 @@ def main():
         return
 
     if args.trained_npz:
+        lo, hi = (int(x) for x in args.trained_symbols.split(","))
         result = run_trained_bench(
             args.trained_npz, args.batch_size, args.repeats,
-            stop_threshold=args.stop_threshold,
+            stop_threshold=args.stop_threshold, symbols=(lo, hi),
         )
         print(json.dumps({"mode": "trained_checkpoint_synthesis", **result}))
         return

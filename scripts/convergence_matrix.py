@@ -113,11 +113,31 @@ def run_train(tag: str, run_root: str, overrides: dict, steps: int,
         **EXTRA,
     )
     hp = hp_obj(overrides)
+    gen_kw = dict(
+        dict(num_utterances=192, min_symbols=17, max_symbols=24),
+        **corpus_kw,
+    )
+    # Corpus provenance guard (mirrors convergence_run): a run dir whose
+    # corpus was generated with DIFFERENT parameters is stale — training
+    # would silently continue on the old data and checkpoints. Wipe and
+    # regenerate rather than reuse.
+    meta_path = os.path.join(run_dir, "corpus_meta.json")
+    if os.path.exists(os.path.join(list_dir, "train.lst")):
+        old = None
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                old = json.load(f)
+        if old != gen_kw:
+            import shutil
+
+            print(f"[matrix] {tag}: corpus params changed "
+                  f"({old} -> {gen_kw}); wiping {run_dir}", flush=True)
+            shutil.rmtree(run_dir)
     if not os.path.exists(os.path.join(list_dir, "train.lst")):
-        generate_corpus(
-            data_dir, hp, num_utterances=192, min_symbols=17, max_symbols=24,
-            selected_list_dir=list_dir, **corpus_kw,
-        )
+        generate_corpus(data_dir, hp, **gen_kw, selected_list_dir=list_dir)
+        os.makedirs(run_dir, exist_ok=True)
+        with open(meta_path, "w") as f:
+            json.dump(gen_kw, f)
     # Idempotent re-score: Trainer.train counts --steps RELATIVE to the
     # restored step, so re-invoking after a finished run would train
     # `steps` more. When the checkpoint already covers the request, skip
@@ -527,7 +547,18 @@ def family_ls(run_root: str, out_dir: str, steps: int) -> dict:
     Single-source ExtendedDecoder — the configuration LS attention ships
     in (companion tacotron2 repo; SURVEY.md §2.2). The dual-source SA
     flagship pairs with forward attention in every named reference config;
-    putting LS there collapses (see module docstring / BASELINE.md r5)."""
+    putting LS there collapses (see module docstring / BASELINE.md r5).
+
+    Corpus is DELIBERATELY harder than the other families': LS attention
+    has no monotonic prior (unlike forward attention), so alignment only
+    emerges when the decoder cannot fit the data without reading the text.
+    On the default 192×(17-24 symbol) corpus the decoder identifies the
+    training utterance from its first frames and replays it from LSTM
+    dynamics — loss hits 0.07 by step 200 with uniformly diffuse attention
+    (measured r5, runs/drain_r5/matrix_ls.log: median diagonality 0.378,
+    teacher-forced alignments equally flat). 1024 utterances × 48-64
+    symbols makes that memorization infeasible and gives the kernel-31
+    location conv a sequence long enough to resolve position on."""
     from self_attention_tacotron_tpu.models.models import tacotron_model_factory
     from self_attention_tacotron_tpu.synthesis import make_predict_fn
 
@@ -540,7 +571,10 @@ def family_ls(run_root: str, out_dir: str, steps: int) -> dict:
         decoder="ExtendedDecoder",
         attention="location_sensitive",
     )
-    info = run_train("ls", run_root, overrides, steps, corpus_kw={})
+    info = run_train(
+        "ls", run_root, overrides, steps,
+        corpus_kw=dict(num_utterances=1024, min_symbols=48, max_symbols=64),
+    )
     variables, step = restore_variables(info["ckpt_dir"])
     model = tacotron_model_factory(info["hp"])
     predict = make_predict_fn(model)

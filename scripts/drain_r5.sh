@@ -68,7 +68,19 @@ r5b)
     --restore-from artifacts/convergence_r3/trained_params.npz --steps 2000 \
     --run-dir runs/convergence_long
   ;;
+r5c)
+  # session-3 remainder: LS matrix on the hardened corpus (1024 utts ×
+  # 48-64 symbols — the default corpus is memorizable without reading
+  # the text; see family_ls docstring), then the long-checkpoint trained
+  # bench (real early exit at 610-982 frames, SA cache past chunk 29)
+  run matrix_ls3 10800 python scripts/convergence_matrix.py \
+    --families ls --steps 2500 \
+    --run-root runs/matrix --out-dir artifacts/convergence_r5
+  run bench_trained_long 3600 python bench.py \
+    --trained-npz artifacts/convergence_long_r5/trained_params.npz \
+    --trained-symbols 94,152 --repeats 3
+  ;;
 *)
-  echo "unknown stage: $stage (gates|matrix|long|r5b)"; exit 2 ;;
+  echo "unknown stage: $stage (gates|matrix|long|r5b|r5c)"; exit 2 ;;
 esac
 echo "--- summary ---"; cat "$SUMMARY"
