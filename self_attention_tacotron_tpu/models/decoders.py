@@ -368,7 +368,9 @@ class Decoder(nn.Module):
         return fused_teacher.fused_teacher_max_batch(
             num_steps=int(feeds.shape[1]),
             src_len=int(cond.memories[0].shape[1]),
-            feed_dim=int(feeds.shape[2]),
+            # the kernel's VMEM-resident feeds are the HOISTED prenet's
+            # output rows (width P2), not the raw teacher frames
+            feed_dim=int(self.prenet_out_units[-1]),
             dec_units=self.decoder_out_units,
             mem_dims=mem_dims,
             key_dim=key_dim,

@@ -95,13 +95,13 @@ def _init_alpha(cfg):
 
 
 def _needs_prng(cfg) -> bool:
-    """PRNG is needed for prenet dropout always (inference dropout is
-    load-bearing — models/modules.py PreNet), and for zoneout only in
-    train mode: eval zoneout is the deterministic interpolation
-    ``z·prev + (1−z)·new`` (modules.py ZoneoutLSTMCell), which the kernel
-    expresses as a CONSTANT keep-mask — no random bits drawn."""
-    if cfg["prenet_drop_rate"] > 0.0:
-        return True
+    """In-kernel PRNG is needed only for TRAIN-mode zoneout: eval zoneout
+    is the deterministic interpolation ``z·prev + (1−z)·new`` (modules.py
+    ZoneoutLSTMCell), which the kernel expresses as a CONSTANT keep-mask —
+    no random bits drawn. Prenet dropout (stochastic in eval too —
+    inference dropout is load-bearing, models/modules.py PreNet) happens
+    OUTSIDE the kernel: the prenet depends only on the teacher feeds, so
+    it is hoisted to one batched (B·N) matmul pair in teacher_decode."""
     return not cfg.get("eval_zoneout", False) and (
         cfg["zoneout_cell"] > 0.0 or cfg["zoneout_output"] > 0.0
     )
@@ -150,13 +150,11 @@ def _acts_layout(cfg):
     op away. The only recomputed tensor is the (B, S, A) score tanh
     (one VPU pass from the exported ``qp``), whose value feeds d_keys.
     """
-    P1, P2 = cfg["prenet_units"]
     AU, DU = cfg["att_units"], cfg["dec_units"]
     S = cfg["src_len"]
     a_tot = cfg["att1_units"] + (cfg["att2_units"] if cfg["dual"] else 0)
     fields = [
         ("z_att", 4 * AU), ("z1", 4 * DU), ("z2", 4 * DU),
-        ("x1_pre", P1), ("x2_pre", P2),
         ("qp", a_tot), ("y1", S),
     ]
     if cfg["dual"]:
@@ -222,15 +220,14 @@ def fused_teacher_max_batch(**fits_kw) -> int:
 def _make_mask_fns(cfg):
     """Stochastic-mask regeneration shared by forward and backward.
 
-    Draws happen in a fixed global order per step (pmask1, pmask2,
-    z_att_c, z_att_h, z1_c, z1_h, z2_c, z2_h, with disabled kinds
-    skipped) so the backward reproduces the forward's masks bit-
-    identically from the same per-step seed.
+    Draws happen in a fixed global order per step (z_att_c, z_att_h,
+    z1_c, z1_h, z2_c, z2_h, with disabled kinds skipped) so the backward
+    reproduces the forward's masks bit-identically from the same per-step
+    seed. Prenet dropout masks are drawn OUTSIDE the kernel (the prenet
+    is hoisted — see teacher_decode).
     """
     B = cfg["batch"]
     zc, zo = cfg["zoneout_cell"], cfg["zoneout_output"]
-    keep = 1.0 - cfg["prenet_drop_rate"]
-    keep_bits = _keep_u32(keep)
     zc_bits = _keep_u32(zc)
     zo_bits = _keep_u32(zo)
     interpret = cfg["interpret"]
@@ -270,9 +267,6 @@ def _make_mask_fns(cfg):
         else:
             pltpu.prng_seed(seed_plus_t)
 
-    def prenet_mask(width):
-        return draw_mask((B, width), keep_bits) if keep < 1.0 else None
-
     eval_zoneout = cfg.get("eval_zoneout", False)
 
     def zoneout_masks(width):
@@ -289,7 +283,7 @@ def _make_mask_fns(cfg):
         mh = draw_mask((B, width), zo_bits) if zo > 0.0 else None
         return mc, mh
 
-    return seed_step, prenet_mask, zoneout_masks
+    return seed_step, zoneout_masks
 
 
 def _make_ls_fns(cfg, refs):
@@ -370,24 +364,16 @@ def _make_step_fns(cfg, refs):
     """
     B = cfg["batch"]
     S = cfg["src_len"]
-    P1, P2 = cfg["prenet_units"]
     dual = cfg["dual"]
     use_ta = cfg["use_ta"]
     SPK = cfg["spk_dim"]
     io_dtype = jnp.bfloat16 if cfg["io_dtype"] == "bfloat16" else jnp.float32
-    keep = 1.0 - cfg["prenet_drop_rate"]
     A1 = cfg["att1_units"]
     a_tot = A1 + (cfg["att2_units"] if dual else 0)
 
-    seed_step, prenet_mask, zoneout_masks = _make_mask_fns(cfg)
+    seed_step, zoneout_masks = _make_mask_fns(cfg)
     if _is_ls(cfg):
         _, build_tap, loc_from_tap = _make_ls_fns(cfg, refs)
-
-    def dropout_fwd(x, width):
-        m = prenet_mask(width)
-        if m is None:
-            return x, None
-        return x * m * (1.0 / keep), m
 
     def lstm_fwd(xh, w_ref, b_ref, c_prev, h_prev, mc, mh):
         z = jnp.dot(
@@ -407,22 +393,15 @@ def _make_step_fns(cfg, refs):
         )
 
     def recompute(t, cin, feed):
-        """cin: dict with c_att,h_att,c1,h1,c2,h2,ctx1[,ctx2],alpha,u."""
+        """cin: dict with c_att,h_att,c1,h1,c2,h2,ctx1[,ctx2],alpha,u.
+
+        ``feed`` is the already-prenet-ed x2 row for step t: the prenet
+        depends only on the (known-ahead) teacher frames, so it runs as
+        one batched (B·N) matmul pair outside the kernel — two fewer
+        sequential MXU calls per decoder step (teacher_decode)."""
         it = {}
-        # prenet
-        x1_pre = jnp.dot(
-            feed.astype(io_dtype), refs["w_p1"][:],
-            preferred_element_type=jnp.float32,
-        ) + refs["b_p1"][:].astype(jnp.float32)
-        x1_relu = jnp.maximum(x1_pre, 0.0)
-        x1, m1 = dropout_fwd(x1_relu, P1)
-        x2_pre = jnp.dot(
-            x1.astype(io_dtype), refs["w_p2"][:],
-            preferred_element_type=jnp.float32,
-        ) + refs["b_p2"][:].astype(jnp.float32)
-        x2_relu = jnp.maximum(x2_pre, 0.0)
-        x2, m2 = dropout_fwd(x2_relu, P2)
-        it.update(x1_pre=x1_pre, x1=x1, m1=m1, x2_pre=x2_pre, x2=x2, m2=m2)
+        x2 = feed.astype(jnp.float32)
+        it.update(x2=x2)
 
         spk = [refs["spk"][:].astype(jnp.float32)] if SPK else []
         ctx2_in = [cin["ctx2"]] if dual else []
@@ -514,8 +493,9 @@ def _make_step_fns(cfg, refs):
 # --------------------------------------------------------------------------- #
 
 _FWD_REF_NAMES = (
+    # "feeds" carries the PRENET OUTPUT stack (N, B, P2): the prenet is
+    # hoisted outside the kernel (it reads only teacher frames)
     "feeds", "spk", "score_bias", "keys", "mem1", "mem2",
-    "w_p1", "b_p1", "w_p2", "b_p2",
     "w_attg", "b_attg", "w_qp", "vblk", "w_ta", "b_ta",
     "w_l1", "b_l1", "w_l2", "b_l2",
     # per-source score vectors (1, 1, a_tot), derived from vblk: the
@@ -565,7 +545,6 @@ def _make_fwd_kernel(cfg):
         def pack_acts(slot, it):
             vals = dict(
                 z_att=it["att"]["z"], z1=it["l1"]["z"], z2=it["l2"]["z"],
-                x1_pre=it["x1_pre"], x2_pre=it["x2_pre"],
                 qp=it["qp"], y1=it["y1"],
             )
             if dual:
@@ -670,7 +649,7 @@ def _make_fwd_kernel(cfg):
 
 _BWD_EXTRA_REF_NAMES = (
     # transposed weights for input-gradient matmuls (precomputed host-side)
-    "w_p1T", "w_p2T", "w_attgT", "w_qpT", "w_taT", "w_l1T", "w_l2T",
+    "w_attgT", "w_qpT", "w_taT", "w_l1T", "w_l2T",
     "w_lsWT",
 )
 
@@ -689,14 +668,15 @@ def _stack_layout(cfg):
     (N·B)-deep MXU contraction against inputs reconstructed from the
     carries residual.
     """
-    P1, P2 = cfg["prenet_units"]
+    P2 = cfg["prenet_units"][1]
     AU, DU = cfg["att_units"], cfg["dec_units"]
     E1 = cfg["mem1_dim"]
     E2 = cfg["mem2_dim"] if cfg["dual"] else 0
     fields = [
-        ("x1", P1), ("x2", P2),
         ("g_z_att", 4 * AU), ("g_z1", 4 * DU), ("g_z2", 4 * DU),
-        ("g_x2pre", P2), ("g_x1pre", P1),
+        # cotangent of the hoisted prenet's output (the kernel's feeds
+        # input); the outside-kernel prenet backprops through it
+        ("g_feed", P2),
         ("g_qp", cfg["att1_units"] + (cfg["att2_units"] if cfg["dual"] else 0)),
         ("g_ctx1", E1),
     ]
@@ -718,12 +698,11 @@ def _make_bwd_kernel(cfg):
     dual = cfg["dual"]
     use_ta = cfg["use_ta"]
     SPK = cfg["spk_dim"]
-    P1, P2 = cfg["prenet_units"]
+    P2 = cfg["prenet_units"][1]
     A1 = cfg["att1_units"]
     a_tot = A1 + (cfg["att2_units"] if dual else 0)
     E1 = cfg["mem1_dim"]
     E2 = cfg["mem2_dim"] if dual else 0
-    keep = 1.0 - cfg["prenet_drop_rate"]
     layout, c_pad = _carry_layout(cfg)
     alayout, a_pad = _acts_layout(cfg)
     slayout, k_pad = _stack_layout(cfg)
@@ -760,7 +739,7 @@ def _make_bwd_kernel(cfg):
             zero_tap, build_tap, loc_from_tap = _make_ls_fns(cfg, refs)
             zero_tap()
 
-        seed_step, prenet_mask, zoneout_masks = _make_mask_fns(cfg)
+        seed_step, zoneout_masks = _make_mask_fns(cfg)
 
         # zero the accumulators
         for name in _GRAD_NAMES:
@@ -891,8 +870,6 @@ def _make_bwd_kernel(cfg):
             # masks regenerate in the forward's exact draw order
             if stochastic:
                 seed_step(seed_ref[0] + t)
-            m1 = prenet_mask(P1)
-            m2 = prenet_mask(P2)
             mz_att = zoneout_masks(AU)
             mz1 = zoneout_masks(DU)
             mz2 = zoneout_masks(DU)
@@ -913,14 +890,8 @@ def _make_bwd_kernel(cfg):
                 att=lstm_vals(acts("z_att"), cin["c_att"], mz_att),
                 l1=lstm_vals(acts("z1"), cin["c1"], mz1),
                 l2=lstm_vals(acts("z2"), cin["c2"], mz2),
-                x1_pre=acts("x1_pre"), x2_pre=acts("x2_pre"),
-                m1=m1, m2=m2,
                 y1=canon_y1[:], alpha1=cur("alpha"), u_new=cur("u"),
             )
-            x1_relu = jnp.maximum(it["x1_pre"], 0.0)
-            it["x1"] = x1_relu * m1 * (1.0 / keep) if m1 is not None else x1_relu
-            x2_relu = jnp.maximum(it["x2_pre"], 0.0)
-            it["x2"] = x2_relu * m2 * (1.0 / keep) if m2 is not None else x2_relu
             if not ls:
                 shifted = pltpu.roll(cin["alpha"], 1, axis=1)
                 colS = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
@@ -1131,7 +1102,7 @@ def _make_bwd_kernel(cfg):
                 it["att"], g_c_att, g_h_att_out, cin["c_att"], refs["w_attgT"]
             )
             off = 0
-            g_x2 = g_att_in[:, :P2]; off = P2
+            g_feed = g_att_in[:, :P2]; off = P2
             if SPK:
                 grads["d_spk"][:] = grads["d_spk"][:] + g_att_in[:, off : off + SPK]
                 off += SPK
@@ -1142,24 +1113,14 @@ def _make_bwd_kernel(cfg):
                 g_ctx2_prev = g_ctx2_c * 0.0
             g_h_att_prev = g_h_att_prev + g_att_in[:, off:]
 
-            # ---- prenet backward ----
-            if it["m2"] is not None:
-                g_x2 = g_x2 * it["m2"] * (1.0 / keep)
-            g_x2_pre = g_x2 * (it["x2_pre"] > 0.0).astype(jnp.float32)
-            g_x1 = jnp.dot(
-                g_x2_pre.astype(io_dtype), refs["w_p2T"][:],
-                preferred_element_type=jnp.float32,
-            )
-            if it["m1"] is not None:
-                g_x1 = g_x1 * it["m1"] * (1.0 / keep)
-            g_x1_pre = g_x1 * (it["x1_pre"] > 0.0).astype(jnp.float32)
-            # feed gradient unused: teacher frames are ground-truth data
+            # prenet backward happens OUTSIDE the kernel: g_feed (the
+            # cotangent of the hoisted prenet's x2 output) exports with
+            # the stacks and autodiff distributes it onto w_p1..b_p2
 
             # ---- export the per-step gradient-stack row ----
             svals = dict(
-                x1=it["x1"], x2=it["x2"],
                 g_z_att=g_z_att, g_z1=g_z1, g_z2=g_z2,
-                g_x2pre=g_x2_pre, g_x1pre=g_x1_pre, g_qp=g_qp,
+                g_feed=g_feed, g_qp=g_qp,
                 g_ctx1=g_ctx1,
             )
             if dual:
@@ -1360,8 +1321,6 @@ def _run_bwd(operands: Tuple, cfg_key: Tuple):
 def _weights_to_operands(weights: Dict, io):
     """Fixed order matching _FWD_REF_NAMES[6:]."""
     return (
-        io(weights["w_p1"]), io(weights["b_p1"]),
-        io(weights["w_p2"]), io(weights["b_p2"]),
         io(weights["w_attg"]), io(weights["b_attg"]),
         io(weights["w_qp"]), io(weights["vblk"]),
         io(weights["w_ta"]), io(weights["b_ta"]),
@@ -1452,7 +1411,7 @@ def _teacher_decode_bwd(cfg_key, residuals, cotangents):
         if _is_ls(cfg) else jnp.zeros((8, 8), jnp.float32)
     )
     operands = _common_operands(cfg, weights, conds, feeds, seed) + (
-        tr(weights["w_p1"]), tr(weights["w_p2"]), tr(weights["w_attg"]),
+        tr(weights["w_attg"]),
         tr(weights["w_qp"]), tr(weights["w_ta"]),
         tr(weights["w_l1"]), tr(weights["w_l2"]),
         w_lsWT,
@@ -1512,7 +1471,8 @@ def _teacher_decode_bwd(cfg_key, residuals, cotangents):
         return jnp.sum(g["d_brow"][:, off : off + w], axis=0)
 
     spk = conds.get("spk")
-    att_parts = [scol("x2")]
+    # x2 (the hoisted prenet's output) is the feeds residual itself
+    att_parts = [jnp.transpose(mm(jnp.asarray(feeds)), (1, 0, 2))]
     if cfg["spk_dim"]:
         # mm-cast BEFORE the concat: a mixed-dtype concatenate would
         # silently promote the whole assembled att_in back to f32
@@ -1538,11 +1498,7 @@ def _teacher_decode_bwd(cfg_key, residuals, cotangents):
     din2 = jnp.concatenate(
         [ccol(carries, "h1"), ccol(prev, "h2")], axis=-1
     )
-    feeds_nb = jnp.transpose(mm(jnp.asarray(feeds)), (1, 0, 2))
-
     g_weights = {
-        "w_p1": dT(feeds_nb, scol("g_x1pre")), "b_p1": bsum("g_x1pre"),
-        "w_p2": dT(scol("x1"), scol("g_x2pre")), "b_p2": bsum("g_x2pre"),
         "w_attg": dT(att_in, g_z_att), "b_attg": bsum("g_z_att"),
         "w_qp": dT(h_att_t, scol("g_qp")), "vblk": jnp.transpose(g["d_vblk"]),
         "w_l1": dT(din1, scol("g_z1")), "b_l1": bsum("g_z1"),
@@ -1594,7 +1550,11 @@ def _teacher_decode_bwd(cfg_key, residuals, cotangents):
     g_conds = {
         k: v.astype(jnp.asarray(conds[k]).dtype) for k, v in g_conds.items()
     }
-    g_feeds = jnp.zeros_like(feeds)  # teacher frames are data, not params
+    # feeds is the hoisted prenet's output — its cotangent flows back to
+    # the prenet weights through the outside-kernel matmuls via autodiff
+    g_feeds = jnp.transpose(scol("g_feed"), (1, 0, 2)).astype(
+        jnp.asarray(feeds).dtype
+    )
     # integer primals take a float0 cotangent (JAX convention; an int32
     # zero happens to be tolerated today but is fragile across upgrades)
     g_seed = np.zeros(jnp.shape(seed), jax.dtypes.float0)
@@ -1622,6 +1582,14 @@ def teacher_decode(
 
     Returns (features (B, N, DU) f32, alignments (B, N, n_src·S) f32).
 
+    The PRENET IS HOISTED out of the sequential kernel: in teacher
+    forcing its inputs (the ground-truth feed frames) are known for all
+    N steps ahead of time, so both layers run here as one batched
+    (B·N)-deep MXU matmul pair (with jax-PRNG inference dropout) instead
+    of 2 of the ~9 latency-bound sequential matmuls per decoder step —
+    and the kernel's exported g_feed cotangent lets plain autodiff
+    produce the prenet weight gradients through these same matmuls.
+
     Batches beyond the single-launch VMEM budget run as SEQUENTIAL batch
     blocks (mirroring fused_decode's inference-side slicing, VERDICT r3
     missing #3): the slicing happens OUTSIDE the custom_vjp, so under
@@ -1633,6 +1601,56 @@ def teacher_decode(
     adjoint in the backward kernel is linear in the incoming cotangent, so
     they contribute exactly zero gradient.
     """
+    io_dtype = jnp.bfloat16 if hp_like["io_dtype"] == "bfloat16" else jnp.float32
+    drop = float(hp_like["prenet_drop_rate"])
+
+    def dense_relu(x, w, b):
+        pre = jnp.dot(
+            x.astype(io_dtype), jnp.asarray(w, io_dtype),
+            preferred_element_type=jnp.float32,
+        ) + jnp.asarray(b, jnp.float32)
+        # jax.nn.relu, NOT jnp.maximum: the zero go-frame with zero-init
+        # biases lands EXACTLY on the ReLU tie, where maximum's autodiff
+        # splits the cotangent 1/2 but modules.py PreNet (nn.relu) and the
+        # XLA scan path give 0 — bias grads would silently diverge.
+        return jax.nn.relu(pre)
+
+    x1 = dense_relu(feeds, weights["w_p1"], weights["b_p1"])
+    if drop > 0.0:
+        kp = 1.0 - drop
+        k1, k2 = jax.random.split(
+            jax.random.fold_in(jax.random.PRNGKey(jnp.asarray(seed, jnp.int32)), 7)
+        )
+        x1 = jnp.where(jax.random.bernoulli(k1, kp, x1.shape), x1 / kp, 0.0)
+    x2 = dense_relu(x1, weights["w_p2"], weights["b_p2"])
+    if drop > 0.0:
+        x2 = jnp.where(jax.random.bernoulli(k2, kp, x2.shape), x2 / kp, 0.0)
+    inner_weights = {
+        k: v for k, v in weights.items()
+        if k not in ("w_p1", "b_p1", "w_p2", "b_p2")
+    }
+    return _decode_core(
+        weights=inner_weights, keys=keys, mem1=mem1, mem2=mem2,
+        score_bias=score_bias, spk=spk, feeds=x2, seed=seed,
+        hp_like=hp_like, interpret=interpret, slice_batch=slice_batch,
+    )
+
+
+def _decode_core(
+    *,
+    weights: Dict[str, jnp.ndarray],
+    keys: jnp.ndarray,
+    mem1: jnp.ndarray,
+    mem2,
+    score_bias: jnp.ndarray,
+    spk,
+    feeds: jnp.ndarray,           # (B, N, P2) HOISTED-PRENET output
+    seed,
+    hp_like: Dict,
+    interpret: bool = False,
+    slice_batch=None,
+):
+    """Batch-block dispatch + the custom_vjp call (post-prenet)."""
     B, N, F = feeds.shape
     S = keys.shape[1]
     fits_kw = dict(
@@ -1667,11 +1685,12 @@ def teacher_decode(
                     ((0, bp - (end - start)),) + ((0, 0),) * (x.ndim - 1),
                 )
             )
-            f, a = teacher_decode(
+            f, a = _decode_core(
                 weights=weights, keys=blk(keys), mem1=blk(mem1),
                 mem2=blk(mem2), score_bias=blk(score_bias), spk=blk(spk),
                 feeds=blk(feeds),
-                # distinct per-block mask streams from the one seed
+                # distinct per-block zoneout-mask streams from the one
+                # seed (prenet dropout was drawn pre-slicing, whole-batch)
                 seed=jnp.asarray(seed, jnp.int32) + jnp.int32(i * 1000003),
                 hp_like=hp_like, interpret=interpret,
             )
@@ -1690,7 +1709,6 @@ def teacher_decode(
         mem2_dim=int(mem2.shape[-1]) if mem2 is not None else 8,
         zoneout_cell=hp_like["zoneout_cell"],
         zoneout_output=hp_like["zoneout_output"],
-        prenet_drop_rate=hp_like["prenet_drop_rate"],
         io_dtype=hp_like["io_dtype"],
         src1_kind=hp_like.get("src1_kind", "forward"),
         ls_cumulative=bool(hp_like.get("ls_cumulative", True)),
